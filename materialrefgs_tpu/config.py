@@ -1,0 +1,212 @@
+"""Config dataclasses mirroring the reference CLI groups
+(arguments/__init__.py ModelParams:60, PipelineParams:96,
+OptimizationParams:110) plus the run_*.sh stage presets. The reference's
+import-time FLAG/INDIRECT_TYPE build switch (arguments/config.py) becomes the
+runtime flags `unbiased_depth` (pgsr flavor) and `indirect_type`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ModelParams:
+    sh_degree: int = 3
+    resolution: int = -1
+    white_background: bool = False
+    multi_view_num: int = 8
+    multi_view_max_angle: float = 30.0
+    multi_view_min_dis: float = 0.01
+    multi_view_max_dis: float = 1.5
+    ncc_scale: float = 1.0
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    eval: bool = False
+    envmap_max_res: int = 128
+    envmap_max_roughness: float = 0.5
+    envmap_min_roughness: float = 0.08
+    relight: bool = False
+
+
+@dataclass(frozen=True)
+class PipelineParams:
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    use_asg: bool = False
+    depth_ratio: float = 0.0
+    debug: bool = False
+    # arguments/config.py build flavor: FLAG="pgsr" -> unbiased depth plane.
+    unbiased_depth: bool = True
+    indirect_type: str = "origin"  # "origin" | "raytracing_residual"
+
+
+@dataclass(frozen=True)
+class OptimizationParams:
+    iterations: int = 50_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    features_lr: float = 0.0075
+    indirect_lr: float = 0.0075
+    asg_lr: float = 0.0075
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    ori_color_lr: float = 0.0075
+    refl_strength_lr: float = 0.005
+    roughness_lr: float = 0.005
+    metalness_lr: float = 0.01
+    normal_lr: float = 0.006
+    envmap_cubemap_lr: float = 0.01
+
+    percent_dense: float = 0.01
+
+    lambda_dssim: float = 0.2
+    lambda_dist: float = 0.0
+    lambda_normal_render_depth: float = 0.05
+    lambda_normal_smooth: float = 0.0
+    lambda_depth_smooth: float = 0.0
+    wo_image_weight: bool = False
+
+    init_roughness_value: float = 0.1
+    init_refl_value: float = 0.1
+    init_refl_value_vol: float = 0.01
+    rough_msk_thr: float = 0.01
+    refl_msk_thr: float = 0.02
+    enlarge_scale: float = 1.5
+
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 25000
+    densify_grad_threshold: float = 0.0002
+    prune_opacity_threshold: float = 0.05
+
+    initial: int = 0
+    init_until_iter: int = 0
+    volume_render_until_iter: int = 18000
+    normal_smooth_from_iter: int = 0
+    normal_smooth_until_iter: int = 18000
+    indirect: int = 0
+    indirect_from_iter: int = 20000
+    feature_rest_from_iter: int = 5_000
+    normal_prop_until_iter: int = 25_000
+    normal_prop_interval: int = 1000
+    opac_lr0_interval: int = 200
+    densification_interval_when_prop: int = 500
+
+    normal_loss_start: int = 0
+    dist_loss_start: int = 3000
+
+    use_env_scope: bool = False
+    env_scope_center: tuple = (0.0, 0.0, 0.0)
+    env_scope_radius: float = 0.0
+    srgb: bool = False
+
+    voxel_size: float = -1.0
+    depth_trunc: float = -1.0
+    sdf_trunc: float = -1.0
+    mesh_res: int = 512
+    num_cluster: int = 1
+
+    use_virtul_cam: bool = False
+    virtul_cam_prob: float = 0.5
+    use_multi_view_trim: bool = True
+    multi_view_ncc_weight: float = 0.15
+    multi_view_geo_weight: float = 0.03
+    multi_view_weight_from_iter: int = 10000
+    multi_view_patch_size: int = 3
+    multi_view_sample_num: int = 102400
+    multi_view_pixel_noise_th: float = 1.0
+    wo_use_geo_occ_aware: bool = False
+
+    use_perceptual_loss: bool = True
+    lambda_perceptual_loss: float = 0.1
+    perceptual_loss_start_iter: int = 18000
+
+    rghmtl_warp_loss_start_iter: int = 10000
+    use_metallic_warp_loss: bool = True
+    use_roughness_warp_loss: bool = True
+    metallic_warp_weight: float = 0.05
+    roughness_warp_weight: float = 0.05
+    use_backgroud_mask: bool = True
+    directional_rghmtl_warp_alignment: bool = True
+    dilate_size: int = 7
+    edge_aware_in_warp: bool = True
+
+    ref_score_start_iter: int = 10000
+    ref_score_loss_weight: float = 0.01
+    ref_score_loss_inv_weight: float = 0.005
+
+    use_albedo_smoothness: bool = False
+    lambda_albedo_smoothness: float = 0.015
+    albedo_smoothness_start_iter: int = 10000
+
+    tel_thres: float = 0.1
+
+
+def preset_refnerf() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
+    """run_refnerf.sh:27-48 — Shiny Blender Synthetic."""
+    return (
+        ModelParams(white_background=True, eval=True, ncc_scale=1.0),
+        PipelineParams(),
+        dataclasses.replace(
+            OptimizationParams(),
+            iterations=50000,
+            indirect_from_iter=20000,
+            volume_render_until_iter=0,
+            initial=1,
+            init_until_iter=3000,
+            normal_loss_start=3000,
+            normal_prop_until_iter=30000,
+            densify_until_iter=30000,
+            lambda_normal_smooth=0.0,
+            ref_score_start_iter=50000,
+            use_perceptual_loss=False,
+            use_metallic_warp_loss=False,
+            use_roughness_warp_loss=False,
+        ),
+    )
+
+
+def preset_refreal() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
+    """run_refreal.sh:24-44 — Shiny Blender Real."""
+    return (
+        ModelParams(eval=True, ncc_scale=0.5, resolution=4),
+        PipelineParams(),
+        dataclasses.replace(
+            OptimizationParams(),
+            iterations=30000,
+            indirect_from_iter=12500,
+            volume_render_until_iter=0,
+            initial=1,
+            init_until_iter=3000,
+            normal_loss_start=7000,
+            densify_until_iter=20000,
+            normal_prop_until_iter=18000,
+            lambda_normal_smooth=0.0,
+            lambda_normal_render_depth=0.05,
+            multi_view_weight_from_iter=7000,
+            multi_view_ncc_weight=0.15,
+            lambda_dist=1000.0,
+            perceptual_loss_start_iter=16000,
+            ref_score_loss_weight=0.01,
+        ),
+    )
+
+
+def preset_glossy() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
+    """run_glossy.sh:28-44 — Glossy Synthetic (NeRO)."""
+    m, p, o = preset_refnerf()
+    return (
+        m,
+        p,
+        dataclasses.replace(
+            o,
+            use_roughness_warp_loss=True,
+            lambda_perceptual_loss=0.05,
+        ),
+    )

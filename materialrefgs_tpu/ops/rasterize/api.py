@@ -1,0 +1,205 @@
+"""Public rasterization API: preprocess + binning + Pallas tile kernels.
+
+Pipeline (TPU-native redesign of rasterize_points.cu + rasterizer_impl.cu):
+  1. preprocess (pure jnp, vmapped over P)      — cull, transmat, AABB
+  2. depth argsort over gaussians (P)           — replaces radix depth keys
+  3. pair expansion + stable tile sort (B)      — replaces duplicateWithKeys
+  4. payload gather (C, B)                      — replaces per-thread fetches
+  5. Pallas tile kernel fwd (+ custom VJP bwd)  — replaces renderCUDA fwd/bwd
+  6. unpack per-tile outputs to (H, W, *) maps
+
+Gradients flow through steps 1/4/6 by ordinary autodiff; step 5's custom VJP
+(pallas_bwd) yields per-pair payload gradients, and the transpose of the
+step-4 gather performs the per-gaussian reduction (replacing CUDA atomics).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from materialrefgs_tpu.cameras import Camera
+from materialrefgs_tpu.ops.rasterize import binning
+from materialrefgs_tpu.ops.rasterize.layout import (
+    K_CHUNK,
+    PIX,
+    TILE,
+    out_layout,
+    payload_channels_padded,
+)
+from materialrefgs_tpu.ops.rasterize.pallas_bwd import rasterize_tiles_bwd
+from materialrefgs_tpu.ops.rasterize.pallas_fwd import rasterize_tiles_fwd
+from materialrefgs_tpu.ops.rasterize.preprocess import PreprocessOut, preprocess
+
+
+@dataclass(frozen=True)
+class RasterizeConfig:
+    pair_capacity: int = 1 << 20
+    interpret: bool = False  # run Pallas kernels in interpreter mode (CPU tests)
+
+
+def _build_payload(pre: PreprocessOut, opacities, colors, features, S: int):
+    """(C_PAD, P) per-gaussian payload columns (already depth-sorted)."""
+    C_PAD = payload_channels_padded(S)
+    cols = [
+        pre.T_rows[:, 0, :],  # Tu (P,3)
+        pre.T_rows[:, 1, :],
+        pre.T_rows[:, 2, :],
+        pre.mean2d,  # (P,2)
+        opacities[:, None],
+        colors,
+        features,
+        pre.normal,
+    ]
+    pay = jnp.concatenate(cols, axis=-1)  # (P, C)
+    pad = C_PAD - pay.shape[-1]
+    if pad:
+        pay = jnp.concatenate([pay, jnp.zeros((pay.shape[0], pad), pay.dtype)], -1)
+    return pay.T  # (C_PAD, P)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _render_core(S, grid_x, grid_y, W, H, interpret, payload_pairs, tile_start, tile_count):
+    return rasterize_tiles_fwd(
+        payload_pairs,
+        tile_start,
+        tile_count,
+        S=S,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        W=W,
+        H=H,
+        interpret=interpret,
+    )
+
+
+def _render_core_fwd(S, grid_x, grid_y, W, H, interpret, payload_pairs, tile_start, tile_count):
+    out = _render_core(S, grid_x, grid_y, W, H, interpret, payload_pairs, tile_start, tile_count)
+    return out, (payload_pairs, tile_start, tile_count, out)
+
+
+def _render_core_bwd(S, grid_x, grid_y, W, H, interpret, res, g):
+    payload_pairs, tile_start, tile_count, fwd_out = res
+    lay = out_layout(S)
+    n_contrib = fwd_out[..., lay["n_contrib"][0]]  # (T, 256)
+    tile_active = jnp.max(n_contrib, axis=1).astype(jnp.int32)
+    d_pairs = rasterize_tiles_bwd(
+        payload_pairs,
+        tile_start,
+        tile_count,
+        tile_active,
+        fwd_out,
+        g,
+        S=S,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        W=W,
+        H=H,
+        interpret=interpret,
+    )
+    zero_i = np.zeros(tile_start.shape, jax.dtypes.float0)
+    zero_c = np.zeros(tile_count.shape, jax.dtypes.float0)
+    return d_pairs, zero_i, zero_c
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+def _unpack(tiles_out, S, grid_x, grid_y, W, H, bg_color):
+    layout = out_layout(S)
+    C_OUT = tiles_out.shape[-1]
+    img = tiles_out.reshape(grid_y, grid_x, TILE, TILE, C_OUT)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, C_OUT)
+    img = img[:H, :W]
+
+    def ch(name):
+        a, b = layout[name]
+        v = img[..., a:b]
+        return v[..., 0] if b - a == 1 else v
+
+    final_T = ch("final_T")
+    return {
+        "render": ch("color") + final_T[..., None] * bg_color[None, None, :],
+        "feature": ch("feature"),
+        "normal": ch("normal"),
+        "depth": ch("depth"),
+        "M1": ch("M1"),
+        "M2": ch("M2"),
+        "distortion": ch("distortion"),
+        "median_depth": ch("median_depth"),
+        "final_T": final_T,
+        "alpha": 1.0 - final_T,
+        "n_contrib": jax.lax.stop_gradient(ch("n_contrib")).astype(jnp.int32),
+        "median_contrib": jax.lax.stop_gradient(ch("median_contrib")).astype(jnp.int32),
+    }
+
+
+def rasterize(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    features: jax.Array,
+    camera: Camera,
+    bg_color: jax.Array,
+    scale_modifier: float = 1.0,
+    config: RasterizeConfig = RasterizeConfig(),
+    mean2d_offset: jax.Array | None = None,
+) -> dict:
+    """Full differentiable rasterization; returns dict of (H, W, *) maps plus
+    per-gaussian 'radii' and screen-space 'mean2d' (for densification stats).
+
+    mean2d_offset (P, 2): zeros tensor whose gradient is the screen-space
+    mean2D gradient (the reference's screenspace_points trick,
+    gaussian_renderer/__init__.py:229-233) — used for densification stats."""
+    H, W = camera.height, camera.width
+    grid_x = (W + TILE - 1) // TILE
+    grid_y = (H + TILE - 1) // TILE
+    S = features.shape[-1]
+
+    pre = preprocess(means3d, scales, rotations, camera, scale_modifier)
+    if mean2d_offset is not None:
+        pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
+    # Gaussians with opacity < 1/255 can never pass the per-pixel alpha test
+    # (forward.cu:397); cull them here so dead fixed-capacity slots cost no
+    # binning pairs.
+    active = opacities >= (1.0 / 255.0)
+    valid = pre.valid & active
+    pre = pre._replace(
+        valid=valid,
+        tiles_touched=jnp.where(valid, pre.tiles_touched, 0),
+        radius=jnp.where(valid, pre.radius, 0.0),
+    )
+
+    # Depth sort over gaussians (stable, matches CUDA radix tie behavior).
+    order = jnp.argsort(pre.depth, stable=True)
+    pre_s = jax.tree_util.tree_map(lambda a: a[order], pre)
+    opac_s = opacities[order]
+    colors_s = colors[order]
+    feats_s = features[order]
+
+    bins = binning.bin_pairs(pre_s, grid_x, grid_y, config.pair_capacity)
+
+    payload_g = _build_payload(pre_s, opac_s, colors_s, feats_s, S)  # (C, P)
+    gauss_idx = jnp.where(bins.pair_valid, bins.pair_gauss, 0)
+    payload_pairs = jnp.where(
+        bins.pair_valid[None, :], payload_g[:, gauss_idx], 0.0
+    )  # (C, B); padding columns zeroed (also kills their bwd grads)
+    payload_pairs = jnp.concatenate(
+        [payload_pairs, jnp.zeros((payload_pairs.shape[0], K_CHUNK), payload_pairs.dtype)],
+        axis=1,
+    )
+
+    tiles_out = _render_core(
+        S, grid_x, grid_y, W, H, config.interpret,
+        payload_pairs, bins.tile_start, bins.tile_count,
+    )
+    out = _unpack(tiles_out, S, grid_x, grid_y, W, H, bg_color)
+    out["radii"] = pre.radius
+    out["mean2d"] = pre.mean2d
+    out["overflow"] = bins.overflow
+    return out

@@ -1,0 +1,78 @@
+"""Generic sorted-segment builder for Pallas chunked kernels.
+
+Shared machinery for the rasterizer and the splat tracer: given a list of
+candidate pairs (segment id, sort key, valid flag), produce a fixed-capacity
+layout where each segment's pairs are contiguous, sorted by key, and each
+segment starts at a K_CHUNK-aligned offset (Mosaic DMA alignment).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from materialrefgs_tpu.ops.rasterize.layout import K_CHUNK
+
+
+class SegmentLayout(NamedTuple):
+    perm_pos: jax.Array  # (N,) destination slot per input pair (== capacity -> dropped)
+    seg_start: jax.Array  # (S+1,) aligned start offsets
+    seg_count: jax.Array  # (S,) valid pairs per segment
+    num_kept: jax.Array  # () int32
+    overflow: jax.Array  # () int32
+
+
+def build_aligned_segments(
+    seg_id: jax.Array,  # (N,) int32 in [0, S); invalid pairs may hold anything
+    sort_key: jax.Array,  # (N,) f32 ordering within segment
+    valid: jax.Array,  # (N,) bool
+    num_segments: int,
+    capacity: int,
+) -> SegmentLayout:
+    assert capacity % K_CHUNK == 0
+    N = seg_id.shape[0]
+    S = num_segments
+    sid = jnp.where(valid, seg_id, S)
+
+    # Sort by key (stable), then stable by segment: per-segment key order.
+    order1 = jnp.argsort(sort_key, stable=True)
+    order2 = jnp.argsort(sid[order1], stable=True)
+    order = order1[order2]  # input index per sorted rank
+    sid_sorted = sid[order]
+
+    raw_start = jnp.searchsorted(
+        sid_sorted, jnp.arange(S + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = raw_start[1:] - raw_start[:-1]
+    padded = ((counts + K_CHUNK - 1) // K_CHUNK) * K_CHUNK
+    padded_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )
+    seg_start = jnp.minimum(padded_start, capacity)
+    seg_count = jnp.minimum(counts, seg_start[1:] - seg_start[:-1]).astype(jnp.int32)
+
+    rank = jnp.arange(N, dtype=jnp.int32)
+    sclip = jnp.minimum(sid_sorted, S - 1)
+    local = rank - raw_start[sclip]
+    pos_sorted = seg_start[sclip] + local
+    keep = (sid_sorted < S) & (local < seg_count[sclip])
+    pos_sorted = jnp.where(keep, pos_sorted, capacity)
+
+    # perm_pos maps input pair index -> destination slot.
+    perm_pos = jnp.zeros(N, jnp.int32).at[order].set(pos_sorted)
+    num_kept = jnp.sum(seg_count)
+    return SegmentLayout(
+        perm_pos=perm_pos,
+        seg_start=seg_start,
+        seg_count=seg_count,
+        num_kept=num_kept,
+        overflow=jnp.sum(valid.astype(jnp.int32)) - num_kept,
+    )
+
+
+def scatter_pairs(values: jax.Array, perm_pos: jax.Array, capacity: int, fill=0):
+    """Scatter (N, ...) values into (capacity, ...) slots (dropped -> fill)."""
+    out_shape = (capacity,) + values.shape[1:]
+    out = jnp.full(out_shape, fill, values.dtype)
+    return out.at[perm_pos].set(values, mode="drop")

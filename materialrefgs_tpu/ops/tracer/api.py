@@ -1,0 +1,256 @@
+"""Bundle splat tracer API: clustering, cone culling, pair binning, tracing.
+
+TPU-native replacement for the EnvGS OptiX tracer (optix_utils.py
+HardwareRendering.render_gaussians) and for the BVH mesh tracer's visibility
+role (raytracing_brdf): rays are grouped into bundles of 256, gaussians into
+Morton clusters of 256; (bundle, cluster) cone culling + per-gaussian exact
+cone tests produce depth-sorted per-bundle pair lists traced by the Pallas
+kernels.
+
+Approximation vs OptiX (documented): compositing order within a bundle uses
+the gaussian center's distance along the bundle's mean axis, not each ray's
+exact hit t. For bundles of coherent reflected rays and small surfels this
+matches the exact order almost everywhere; the reference's own tracer is not
+vendored (SURVEY §1.1), so behavioral tests compare against our exact-order
+jnp reference tracer instead.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from materialrefgs_tpu.ops.knn import _morton3d
+from materialrefgs_tpu.ops.rasterize.layout import K_CHUNK
+from materialrefgs_tpu.ops.segments import build_aligned_segments
+from materialrefgs_tpu.ops.tracer import pallas_kernels as pk
+from materialrefgs_tpu.ops.tracer.pallas_kernels import C_OUT, C_PAY, NRAY
+from materialrefgs_tpu.utils import sh as sh_utils
+from materialrefgs_tpu.utils.transforms import quat_to_rotmat
+
+CLUSTER = 256
+
+
+@dataclass(frozen=True)
+class TracerConfig:
+    pair_capacity: int = 1 << 19
+    cluster_pair_capacity: int = 1 << 14
+    tmin: float = 1e-3
+    interpret: bool = False
+
+
+class _Prepared(NamedTuple):
+    order: jax.Array  # (Pc,) morton order (padded with P-index sentinel)
+    centers: jax.Array  # (G, 3) cluster centers
+    radii: jax.Array  # (G,) cluster bounding radii (incl. 3-sigma splat extent)
+
+
+def _cluster_gaussians(means3d, scales, alive_mask):
+    """Morton-sort alive gaussians into clusters of 256."""
+    P = means3d.shape[0]
+    G = (P + CLUSTER - 1) // CLUSTER
+    Pc = G * CLUSTER
+    lo = jnp.min(jnp.where(alive_mask[:, None], means3d, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(alive_mask[:, None], means3d, -jnp.inf), axis=0)
+    q = (
+        (means3d - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0
+    ).astype(jnp.int32)
+    q = jnp.clip(q, 0, 1023)
+    code = _morton3d(q)
+    # Dead gaussians sort last.
+    code = jnp.where(alive_mask, code, jnp.int32(0x3FFFFFFF))
+    order = jnp.argsort(code, stable=True)
+    if Pc > P:
+        order = jnp.concatenate([order, jnp.full(Pc - P, P - 1, order.dtype)])
+
+    pts = means3d[order].reshape(G, CLUSTER, 3)
+    r3 = 3.0 * jnp.max(scales, axis=-1)
+    r3 = jnp.where(alive_mask, r3, 0.0)[order].reshape(G, CLUSTER)
+    w = alive_mask[order].reshape(G, CLUSTER)
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1)
+    centers = jnp.sum(pts * w[..., None], axis=1) / wsum
+    dist = jnp.linalg.norm(pts - centers[:, None], axis=-1)
+    radii = jnp.max(jnp.where(w, dist + r3, 0.0), axis=1)
+    return _Prepared(order=order, centers=centers, radii=radii)
+
+
+def _bundle_stats(rays_o, rays_d):
+    """(NB,256,3)x2 -> per-bundle centroid, mean dir, origin radius, tan(theta)."""
+    o_c = jnp.mean(rays_o, axis=1)  # (NB,3)
+    d_n = rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12)
+    d_c = jnp.mean(d_n, axis=1)
+    d_c = d_c / jnp.maximum(jnp.linalg.norm(d_c, axis=-1, keepdims=True), 1e-12)
+    r0 = jnp.max(jnp.linalg.norm(rays_o - o_c[:, None], axis=-1), axis=1)
+    cosm = jnp.min(jnp.sum(d_n * d_c[:, None], axis=-1), axis=1)
+    cosm = jnp.clip(cosm, 1e-3, 1.0)
+    tant = jnp.sqrt(jnp.maximum(1.0 - cosm**2, 0.0)) / cosm
+    return o_c, d_c, r0, tant
+
+
+def _cone_test(p, r_obj, o_c, d_c, r0, tant, tmin):
+    """Conservative sphere-vs-cone: p (..., 3) against a bundle cone."""
+    v = p - o_c
+    t = jnp.sum(v * d_c, axis=-1)
+    perp2 = jnp.maximum(jnp.sum(v * v, axis=-1) - t * t, 0.0)
+    lim = r0 + r_obj + jnp.maximum(t, 0.0) * tant
+    return (t >= tmin - r0 - r_obj) & (perp2 <= lim * lim), t
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1)
+)
+def _trace_core(tmin, interpret, payload, rays, seg_start, seg_count):
+    return pk.trace_bundles_fwd(
+        payload, rays, seg_start, seg_count, tmin=tmin, interpret=interpret
+    )
+
+
+def _trace_core_fwd(tmin, interpret, payload, rays, seg_start, seg_count):
+    out = _trace_core(tmin, interpret, payload, rays, seg_start, seg_count)
+    return out, (payload, rays, seg_start, seg_count, out)
+
+
+def _trace_core_bwd(tmin, interpret, res, g):
+    payload, rays, seg_start, seg_count, fwd_out = res
+    seg_active = jnp.max(fwd_out[..., pk.OUT_NCONTRIB], axis=1).astype(jnp.int32)
+    dpay, drays = pk.trace_bundles_bwd(
+        payload, rays, seg_start, seg_count, seg_active, fwd_out, g,
+        tmin=tmin, interpret=interpret,
+    )
+    z = np.zeros(seg_start.shape, jax.dtypes.float0)
+    zc = np.zeros(seg_count.shape, jax.dtypes.float0)
+    return dpay, drays, z, zc
+
+
+_trace_core.defvjp(_trace_core_fwd, _trace_core_bwd)
+
+
+def trace(
+    rays_o: jax.Array,  # (N, 3); N must be a multiple of 256
+    rays_d: jax.Array,  # (N, 3)
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,  # (P,)
+    shs: jax.Array,  # (P, K_sh, 3) SH coefficients (deg via K_sh)
+    config: TracerConfig = TracerConfig(),
+    sh_degree: int = 3,
+) -> dict:
+    """Trace rays against a surfel cloud. Returns per-ray rgb/acc/depth/normal."""
+    N = rays_o.shape[0]
+    assert N % NRAY == 0, N
+    NB = N // NRAY
+    P = means3d.shape[0]
+
+    ro = rays_o.reshape(NB, NRAY, 3)
+    rd = rays_d.reshape(NB, NRAY, 3)
+    o_c, d_c, r0, tant = _bundle_stats(ro, rd)
+
+    alive = opacities >= (1.0 / 255.0)
+    prep = _cluster_gaussians(means3d, scales, alive)
+    G = prep.centers.shape[0]
+
+    # Stage 1: (bundle, cluster) cone culling.
+    ok_bc, _ = _cone_test(
+        prep.centers[None, :, :],
+        prep.radii[None, :],
+        o_c[:, None, :],
+        d_c[:, None, :],
+        r0[:, None],
+        tant[:, None],
+        config.tmin,
+    )  # (NB, G)
+    flat_idx = jnp.nonzero(
+        ok_bc.reshape(-1), size=config.cluster_pair_capacity, fill_value=NB * G
+    )[0]
+    cp_b = jnp.minimum(flat_idx // G, NB - 1)
+    cp_c = jnp.minimum(flat_idx % G, G - 1)
+    cp_valid = flat_idx < NB * G
+
+    # Stage 2: expand clusters to gaussians, exact per-gaussian cone test.
+    lanes = jnp.arange(CLUSTER, dtype=jnp.int32)[None, :]
+    gidx_sorted = cp_c[:, None] * CLUSTER + lanes  # index into morton order
+    gauss = prep.order[gidx_sorted]  # (CP, 256) original gaussian ids
+    b_of = jnp.broadcast_to(cp_b[:, None], gauss.shape)
+    p_g = means3d[gauss]
+    r_g = 3.0 * jnp.max(scales, axis=-1)[gauss]
+    okg, t_proj = _cone_test(
+        p_g,
+        r_g,
+        o_c[b_of],
+        d_c[b_of],
+        r0[b_of],
+        tant[b_of],
+        config.tmin,
+    )
+    # Mask morton-order padding lanes (duplicated last gaussian) and dupes.
+    okg = okg & cp_valid[:, None] & alive[gauss] & (gidx_sorted < P)
+
+    seg = build_aligned_segments(
+        b_of.reshape(-1),
+        t_proj.reshape(-1),
+        okg.reshape(-1),
+        NB,
+        config.pair_capacity,
+    )
+
+    # Per-pair payload (C_PAY, B + K).
+    B = config.pair_capacity
+    gauss_flat = gauss.reshape(-1)
+    b_flat = b_of.reshape(-1)
+    pair_gauss = jnp.zeros(B, jnp.int32).at[seg.perm_pos].set(
+        jnp.where(okg.reshape(-1), gauss_flat, 0), mode="drop"
+    )
+    pair_bundle = jnp.zeros(B, jnp.int32).at[seg.perm_pos].set(
+        jnp.where(okg.reshape(-1), b_flat, 0), mode="drop"
+    )
+    pair_valid = jnp.zeros(B, bool).at[seg.perm_pos].set(
+        okg.reshape(-1), mode="drop"
+    )
+
+    R = quat_to_rotmat(rotations)
+    tu_s = R[:, :, 0] / jnp.maximum(scales[:, 0:1], 1e-12)
+    tv_s = R[:, :, 1] / jnp.maximum(scales[:, 1:2], 1e-12)
+    nrm = R[:, :, 2]
+
+    pg = pair_gauss
+    # Per-pair color: SH evaluated at the bundle's mean reflected direction.
+    sh_pp = shs[pg]  # (B, K_sh, 3)
+    dirs_pp = d_c[pair_bundle]
+    colors_pp = sh_utils.sh_to_rgb(sh_degree, sh_pp.transpose(0, 2, 1), dirs_pp)
+
+    cols = [
+        means3d[pg],
+        tu_s[pg],
+        tv_s[pg],
+        nrm[pg],
+        opacities[pg][:, None],
+        colors_pp,
+    ]
+    payload = jnp.concatenate(cols, axis=-1)  # (B, 16)
+    payload = jnp.where(pair_valid[:, None], payload, 0.0).T  # (16, B)
+    payload = jnp.concatenate(
+        [payload, jnp.zeros((C_PAY, K_CHUNK), payload.dtype)], axis=1
+    )
+
+    rays8 = jnp.concatenate([ro, rd, jnp.zeros((NB, NRAY, 2))], axis=-1)
+    out = _trace_core(
+        config.tmin, config.interpret, payload, rays8, seg.seg_start, seg.seg_count
+    )
+
+    rgb = out[..., pk.OUT_RGB : pk.OUT_RGB + 3].reshape(N, 3)
+    depth = out[..., pk.OUT_DEPTH].reshape(N)
+    normal = out[..., pk.OUT_NORMAL : pk.OUT_NORMAL + 3].reshape(N, 3)
+    final_T = out[..., pk.OUT_FINAL_T].reshape(N)
+    return {
+        "rgb": rgb,
+        "depth": depth,
+        "normal": normal,
+        "acc": 1.0 - final_T,
+        "final_T": final_T,
+        "overflow": seg.overflow,
+    }

@@ -1,0 +1,224 @@
+"""EnvGS composite rendering (reference gaussian_renderer/envgs_renderer.py).
+
+render_surfel2 (ref :461): deferred surfel render with an extra blend_weight
+feature channel, reflected-ray tracing into the environment gaussians
+(render_indirect, ref :716), and split-sum shading where traced indirect
+light replaces env light in occluded directions (get_specular_color_surfel4).
+
+Visibility: the reference uses a BVH mesh tracer (miss-depth sentinel 10);
+TPU-natively we trace the MAIN gaussian cloud with the same bundle tracer and
+use vis = 1 - acc (soft splat visibility). Documented divergence — the mesh
+path's role (is the reflected ray blocked by the object itself?) is identical.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from materialrefgs_tpu.cameras import Camera
+from materialrefgs_tpu.models.env_light import EnvLightMips
+from materialrefgs_tpu.models.gaussian_model import GaussianModel
+from materialrefgs_tpu.ops.rasterize.api import rasterize
+from materialrefgs_tpu.ops.tracer.api import TracerConfig, trace
+from materialrefgs_tpu.render import shading
+from materialrefgs_tpu.render.renderers import (
+    RenderOptions,
+    _gaussian_normals,
+    _indirect_light,
+    _local_distance,
+    _unpack_regularizations,
+)
+from materialrefgs_tpu.utils.transforms import linear_to_srgb, normalize, reflect
+
+TILE = 16
+
+
+def rays_to_bundles(x: jax.Array, H: int, W: int):
+    """(H, W, C) -> (NB*256, C) in 16x16 tile bundle order (padded)."""
+    gy, gx = (H + TILE - 1) // TILE, (W + TILE - 1) // TILE
+    pad_h, pad_w = gy * TILE - H, gx * TILE - W
+    xp = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
+    xb = xp.reshape(gy, TILE, gx, TILE, -1).transpose(0, 2, 1, 3, 4)
+    return xb.reshape(gy * gx * TILE * TILE, x.shape[-1])
+
+
+def bundles_to_image(x: jax.Array, H: int, W: int):
+    gy, gx = (H + TILE - 1) // TILE, (W + TILE - 1) // TILE
+    C = x.shape[-1] if x.ndim > 1 else 1
+    xb = x.reshape(gy, gx, TILE, TILE, C).transpose(0, 2, 1, 3, 4)
+    return xb.reshape(gy * TILE, gx * TILE, C)[:H, :W]
+
+
+def render_indirect(
+    env_model: GaussianModel,
+    camera: Camera,
+    normal_map: jax.Array,  # (H, W, 3)
+    surf_depth: jax.Array,  # (H, W)
+    tracer_cfg: TracerConfig,
+) -> dict:
+    """Reflect camera rays at the surface, trace env gaussians (ref :716)."""
+    H, W = camera.height, camera.width
+    rays_cam, rays_o = shading.camera_rays_world(camera, unnormalized=True)
+    inter = rays_o[None, None, :] + surf_depth[..., None] * rays_cam
+    w_o = normalize(-rays_cam)
+    rays_refl = normalize(reflect(w_o, normal_map))
+    inter = inter + 1e-3 * rays_refl
+
+    ro = rays_to_bundles(inter, H, W)
+    rd = rays_to_bundles(rays_refl, H, W)
+    shs = jnp.concatenate(
+        [env_model.params.features_dc, env_model.params.features_rest], axis=1
+    )
+    out = trace(
+        ro,
+        rd,
+        env_model.params.xyz,
+        env_model.get_scaling,
+        env_model.get_rotation,
+        env_model.get_opacity[:, 0],
+        shs,
+        tracer_cfg,
+        sh_degree=env_model.max_sh_degree,
+    )
+    return {
+        "render": bundles_to_image(out["rgb"], H, W),
+        "acc": bundles_to_image(out["acc"][:, None], H, W),
+        "depth": bundles_to_image(out["depth"][:, None], H, W),
+        "normal": bundles_to_image(out["normal"], H, W),
+        "overflow": out["overflow"],
+    }
+
+
+def trace_visibility(
+    pc: GaussianModel,
+    camera: Camera,
+    normal_map: jax.Array,
+    surf_depth: jax.Array,
+    tracer_cfg: TracerConfig,
+) -> jax.Array:
+    """(H, W, 1) soft visibility of the env along reflected rays: trace the
+    main cloud, vis = 1 - acc (replaces the mesh BVH occlusion query)."""
+    H, W = camera.height, camera.width
+    rays_cam, rays_o = shading.camera_rays_world(camera, unnormalized=True)
+    inter = rays_o[None, None, :] + surf_depth[..., None] * rays_cam
+    w_o = normalize(-rays_cam)
+    rays_refl = normalize(reflect(w_o, normal_map))
+    inter = inter + 3e-2 * rays_refl  # larger offset to escape own surfel
+
+    ro = rays_to_bundles(inter, H, W)
+    rd = rays_to_bundles(rays_refl, H, W)
+    shs = jnp.zeros((pc.capacity, 1, 3), jnp.float32)
+    out = trace(
+        ro,
+        rd,
+        jax.lax.stop_gradient(pc.params.xyz),
+        jax.lax.stop_gradient(pc.get_scaling),
+        jax.lax.stop_gradient(pc.get_rotation),
+        jax.lax.stop_gradient(pc.get_opacity[:, 0]),
+        shs,
+        tracer_cfg,
+        sh_degree=0,
+    )
+    vis = 1.0 - out["acc"][:, None]
+    return jax.lax.stop_gradient(bundles_to_image(vis, H, W))
+
+
+def render_surfel2(
+    pc: GaussianModel,
+    env_model: GaussianModel,
+    camera: Camera,
+    bg_color: jax.Array,
+    envmap: EnvLightMips,
+    opts: RenderOptions = RenderOptions(),
+    tracer_cfg: TracerConfig = TracerConfig(),
+    mean2d_offset: jax.Array | None = None,
+    with_visibility: bool = True,
+) -> dict:
+    """EnvGS composite forward (ref envgs_renderer.py:461-711)."""
+    colors = pc.get_colors(camera.camera_center)
+    refl = pc.get_refl
+    rough = pc.get_rough
+    ori_color = pc.get_ori_color
+    blend_weight = pc.get_specular
+    indirect, normals = _indirect_light(pc, camera, opts)
+    distance = _local_distance(pc, camera, normals)
+
+    feats = jnp.concatenate(
+        [refl, rough, ori_color, indirect, blend_weight, distance], axis=-1
+    )
+    out = rasterize(
+        pc.params.xyz,
+        pc.get_scaling,
+        pc.get_rotation,
+        pc.get_opacity[:, 0],
+        colors,
+        feats,
+        camera,
+        jnp.zeros(3, jnp.float32),
+        config=opts.raster,
+        mean2d_offset=mean2d_offset,
+    )
+    f = out["feature"]
+    refl_map = f[..., 0:1]
+    rough_map = f[..., 1:2]
+    albedo_map = f[..., 2:5]
+    indirect_residual = f[..., 5:8]
+    blend_map = f[..., 8:9]
+    dist_map = f[..., 9:10]
+    base_color = out["render"]
+
+    regs = _unpack_regularizations(out, camera, opts, dist_map)
+    render_alpha = regs["rend_alpha"]
+    normal_map = regs["rend_normal"] / jnp.maximum(render_alpha, 1e-6)
+
+    indirect_results = render_indirect(
+        env_model, camera, normal_map, regs["surf_depth"], tracer_cfg
+    )
+    indirect_light = indirect_results["render"]
+
+    visibility = None
+    if with_visibility:
+        visibility = trace_visibility(
+            pc, camera, normal_map, regs["surf_depth"], tracer_cfg
+        )
+
+    specular, extra = shading.specular_color_surfel(
+        envmap,
+        albedo_map,
+        camera,
+        normal_map,
+        render_alpha,
+        refl_map,
+        rough_map,
+        visibility=visibility if visibility is not None else jnp.ones_like(render_alpha),
+        indirect_light=indirect_light,
+        blend_weight=None,  # use_indirect_light_residual=False (ref :663)
+        indirect_light_residual=None,
+    )
+
+    final = (1 - refl_map) * base_color + specular
+    albedo_out = albedo_map
+    if opts.srgb:
+        final = linear_to_srgb(final)
+        albedo_out = linear_to_srgb(albedo_map)
+        specular = linear_to_srgb(specular)
+    final = final + bg_color[None, None, :] * (1 - render_alpha)
+
+    return {
+        "render": final,
+        "refl_strength_map": refl_map,
+        "diffuse_map": (1 - refl_map) * base_color,
+        "diffuse_map_ori": base_color,
+        "specular_map": specular,
+        "base_color_map": albedo_out,
+        "roughness_map": rough_map,
+        "blend_weight": blend_map,
+        "rend_distance": dist_map,
+        "indirect_out": indirect_results,
+        "indirect_map": indirect_residual,
+        "radii": out["radii"],
+        "visibility_filter": out["radii"] > 0,
+        "overflow": out["overflow"],
+        **regs,
+        **extra,
+    }

@@ -1,0 +1,305 @@
+"""Forward render paths (reference gaussian_renderer/__init__.py).
+
+  render_initial (ref :94)  — plain 2DGS RGB from SH, no materials.
+  render_surfel  (ref :225) — deferred: rasterize base color + feature vector
+      [refl, rough, ori_color(3), indirect(3), distance], then per-pixel
+      split-sum shading; final = (1-refl)*base + specular, bg composited last.
+
+All outputs channel-last (H, W, C). The PGSR-flavor "unbiased depth"
+(allmap[7:8] of the non-vendored diff_surfel_rasterization2) is reconstructed
+outside the kernel from the composited plane-distance and normal maps:
+depth = dist / <n_view, K^-1 (u,v,1)> (PGSR plane-to-depth identity).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from materialrefgs_tpu.cameras import Camera
+from materialrefgs_tpu.models.env_light import EnvLightMips
+from materialrefgs_tpu.models.gaussian_model import GaussianModel
+from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig, rasterize
+from materialrefgs_tpu.render import shading
+from materialrefgs_tpu.utils import sh as sh_utils
+from materialrefgs_tpu.utils.asg import eval_asg_indirect
+from materialrefgs_tpu.utils.point import depth_to_normal
+from materialrefgs_tpu.utils.transforms import (
+    flip_align_view,
+    linear_to_srgb,
+    normalize,
+    reflect,
+)
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    depth_ratio: float = 0.0  # 2DGS expected/median blend (pipe.depth_ratio)
+    use_asg: bool = False  # ASG vs SH indirect (pipe.use_asg)
+    unbiased_depth: bool = True  # PGSR flavor (arguments/config.py FLAG="pgsr")
+    indirect: bool = False  # use visibility + indirect light in shading
+    srgb: bool = False
+    raster: RasterizeConfig = RasterizeConfig()
+
+
+def _gaussian_normals(pc: GaussianModel, camera: Camera):
+    """World normals flipped toward the viewer (gaussian_model.py:268-284)."""
+    dir_pp = normalize(pc.params.xyz - camera.camera_center[None, :])
+    n_raw = pc.get_world_normal()
+    n, _ = flip_align_view(n_raw, dir_pp)
+    return normalize(n), dir_pp
+
+
+def _local_distance(pc: GaussianModel, camera: Camera, normals: jax.Array):
+    """Per-gaussian |<n_view, p_view>| plane distance
+    (gaussian_renderer/__init__.py:32-40 get_distance)."""
+    Rv = camera.world_view[:3, :3]
+    local_n = normals @ Rv
+    p_cam = pc.params.xyz @ Rv + camera.world_view[3, :3]
+    return jnp.abs(jnp.sum(local_n * p_cam, axis=-1, keepdims=True))
+
+
+def _indirect_light(pc: GaussianModel, camera: Camera, opts: RenderOptions):
+    normals, dir_pp = _gaussian_normals(pc, camera)
+    w_o = -dir_pp
+    refl = reflect(w_o, normals)
+    if opts.use_asg:
+        indirect = eval_asg_indirect(pc.params.indirect_asg, normals, refl)
+    else:
+        shs = pc.get_indirect().transpose(0, 2, 1)  # (P, 3, K)
+        indirect = jnp.maximum(
+            sh_utils.eval_sh(pc.max_sh_degree, shs, normalize(refl)), 0.0
+        )
+    return indirect, normals
+
+
+def _unpack_regularizations(out: dict, camera: Camera, opts: RenderOptions, rend_distance=None):
+    """compute_2dgs_normal_and_regularizations (gaussian_renderer/__init__.py:42-90)."""
+    render_alpha = out["alpha"][..., None]  # (H, W, 1)
+    # Normal back to world space (kernel composites view-space normals).
+    Rv = camera.world_view[:3, :3]
+    render_normal = out["normal"] @ Rv.T
+
+    depth_median = jnp.nan_to_num(out["median_depth"], nan=0.0)
+    depth_expected = jnp.nan_to_num(
+        out["depth"] / jnp.maximum(render_alpha[..., 0], 1e-12), nan=0.0
+    )
+    depth_expected = jnp.where(render_alpha[..., 0] > 0, depth_expected, 0.0)
+
+    if opts.unbiased_depth and rend_distance is not None:
+        # PGSR: per-pixel plane distance / <n_view, ray_cam>.
+        rays_cam = camera.get_rays()  # (H, W, 3), z=1
+        n_view = out["normal"]  # composited view-space normal (unnormalized)
+        denom = jnp.abs(jnp.sum(n_view * rays_cam, axis=-1))
+        surf_depth = jnp.where(
+            denom > 1e-6, rend_distance[..., 0] / jnp.maximum(denom, 1e-6), 0.0
+        )
+        surf_depth = jnp.nan_to_num(surf_depth, nan=0.0)
+    else:
+        surf_depth = (
+            depth_expected * (1 - opts.depth_ratio) + opts.depth_ratio * depth_median
+        )
+
+    surf_normal = depth_to_normal(camera, surf_depth)
+    surf_normal = surf_normal * jax.lax.stop_gradient(render_alpha)
+
+    return {
+        "rend_alpha": render_alpha,
+        "rend_normal": render_normal,
+        "render_depth_median": depth_median,
+        "render_depth_expected": depth_expected,
+        "rend_dist": out["distortion"],
+        "surf_depth": surf_depth,
+        "surf_normal": surf_normal,
+    }
+
+
+def render_initial(
+    pc: GaussianModel,
+    camera: Camera,
+    bg_color: jax.Array,
+    opts: RenderOptions = RenderOptions(),
+    mean2d_offset: jax.Array | None = None,
+) -> dict:
+    """Plain 2DGS render (gaussian_renderer/__init__.py:94-222)."""
+    colors = pc.get_colors(camera.camera_center)
+    feats = jnp.zeros((pc.capacity, 1), jnp.float32)
+    out = rasterize(
+        pc.params.xyz,
+        pc.get_scaling,
+        pc.get_rotation,
+        pc.get_opacity[:, 0],
+        colors,
+        feats,
+        camera,
+        jnp.zeros(3, jnp.float32),
+        config=opts.raster,
+        mean2d_offset=mean2d_offset,
+    )
+    regs = _unpack_regularizations(out, camera, opts, None)
+    image = out["render"]
+    if opts.srgb:
+        image = linear_to_srgb(image)
+    image = image + bg_color[None, None, :] * (1 - regs["rend_alpha"])
+    return {
+        "render": image,
+        "radii": out["radii"],
+        "visibility_filter": out["radii"] > 0,
+        "overflow": out["overflow"],
+        **regs,
+    }
+
+
+def render_surfel(
+    pc: GaussianModel,
+    camera: Camera,
+    bg_color: jax.Array,
+    envmap: EnvLightMips,
+    opts: RenderOptions = RenderOptions(),
+    mean2d_offset: jax.Array | None = None,
+    visibility: jax.Array | None = None,  # (H, W, 1) traced visibility
+    traced_indirect: jax.Array | None = None,  # (H, W, 3) EnvGS indirect
+    wo_render_img: bool = False,
+) -> dict:
+    """Deferred-shading render (gaussian_renderer/__init__.py:225-520)."""
+    colors = pc.get_colors(camera.camera_center)
+    refl = pc.get_refl
+    rough = pc.get_rough
+    ori_color = pc.get_ori_color
+    indirect, normals = _indirect_light(pc, camera, opts)
+    distance = _local_distance(pc, camera, normals)
+
+    feats = jnp.concatenate([refl, rough, ori_color, indirect, distance], axis=-1)
+    out = rasterize(
+        pc.params.xyz,
+        pc.get_scaling,
+        pc.get_rotation,
+        pc.get_opacity[:, 0],
+        colors,
+        feats,
+        camera,
+        jnp.zeros(3, jnp.float32),
+        config=opts.raster,
+        mean2d_offset=mean2d_offset,
+    )
+
+    f = out["feature"]
+    refl_map = f[..., 0:1]
+    rough_map = f[..., 1:2]
+    albedo_map = f[..., 2:5]
+    indirect_map = f[..., 5:8]
+    dist_map = f[..., 8:9]
+    base_color = out["render"]  # bg=0 inside
+
+    regs = _unpack_regularizations(out, camera, opts, dist_map)
+    render_alpha = regs["rend_alpha"]
+
+    results = {
+        "refl_strength_map": refl_map,
+        "base_color_map": albedo_map,
+        "roughness_map": rough_map,
+        "rend_distance": dist_map,
+        "radii": out["radii"],
+        "visibility_filter": out["radii"] > 0,
+        "overflow": out["overflow"],
+        **regs,
+    }
+    if wo_render_img:
+        return results
+
+    # Deferred shading with the *world-space* normal map divided by alpha
+    # (render_surfel:424-427).
+    normal_map = regs["rend_normal"] / jnp.maximum(render_alpha, 1e-6)
+    specular, extra = shading.specular_color_surfel(
+        envmap,
+        albedo_map,
+        camera,
+        normal_map,
+        render_alpha,
+        refl_map,
+        rough_map,
+        visibility=visibility if opts.indirect else None,
+        indirect_light=indirect_map if opts.indirect else None,
+    )
+    if visibility is not None and not opts.indirect:
+        # surfel2 flavor: visibility masks direct light only.
+        specular, extra = shading.specular_color_surfel(
+            envmap, albedo_map, camera, normal_map, render_alpha,
+            refl_map, rough_map, visibility=visibility, indirect_light=None,
+        )
+
+    final = (1 - refl_map) * base_color + specular
+    albedo_out = albedo_map
+    if opts.srgb:
+        final = linear_to_srgb(final)
+        albedo_out = linear_to_srgb(albedo_map)
+        specular = linear_to_srgb(specular)
+    final = final + bg_color[None, None, :] * (1 - render_alpha)
+
+    results.update(
+        {
+            "render": final,
+            "diffuse_map": (1 - refl_map) * base_color,
+            "diffuse_map_ori": base_color,
+            "specular_map": specular,
+            "base_color_map": albedo_out,
+            "indirect_map": indirect_map,
+            **extra,
+        }
+    )
+    if opts.indirect and "indirect_color" in extra:
+        ic = (1 - refl_map) * base_color + extra["indirect_color"]
+        results["indirect_color"] = ic + bg_color[None, None, :] * (1 - render_alpha)
+    return results
+
+
+def render_volume(
+    pc: GaussianModel,
+    camera: Camera,
+    bg_color: jax.Array,
+    envmap: EnvLightMips,
+    opts: RenderOptions = RenderOptions(),
+    mean2d_offset: jax.Array | None = None,
+) -> dict:
+    """Forward (per-gaussian) shading then rasterize
+    (gaussian_renderer/__init__.py:521+ render_volume)."""
+    normals, dir_pp = _gaussian_normals(pc, camera)
+    diffuse, specular, _ = shading.full_color_volume(
+        envmap,
+        pc.params.xyz,
+        pc.get_ori_color,
+        camera,
+        normals,
+        pc.get_refl,
+        pc.get_rough,
+    )
+    colors = diffuse + specular
+    feats = jnp.concatenate([pc.get_refl, pc.get_rough, pc.get_ori_color], axis=-1)
+    out = rasterize(
+        pc.params.xyz,
+        pc.get_scaling,
+        pc.get_rotation,
+        pc.get_opacity[:, 0],
+        colors,
+        feats,
+        camera,
+        jnp.zeros(3, jnp.float32),
+        config=opts.raster,
+        mean2d_offset=mean2d_offset,
+    )
+    regs = _unpack_regularizations(out, camera, opts, None)
+    image = out["render"]
+    if opts.srgb:
+        image = linear_to_srgb(image)
+    image = image + bg_color[None, None, :] * (1 - regs["rend_alpha"])
+    return {
+        "render": image,
+        "refl_strength_map": out["feature"][..., 0:1],
+        "roughness_map": out["feature"][..., 1:2],
+        "base_color_map": out["feature"][..., 2:5],
+        "radii": out["radii"],
+        "visibility_filter": out["radii"] > 0,
+        "overflow": out["overflow"],
+        **regs,
+    }

@@ -1,0 +1,184 @@
+"""Loss library (reference utils/loss_utils.py), channel-last jnp.
+
+All image args are (H, W, C). Iteration gating uses jnp.where on traced
+scalars so calculate_loss stays jit-able across the whole curriculum.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from materialrefgs_tpu.config import OptimizationParams
+
+
+def l1_loss(x, y):
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2_loss(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def psnr(img, gt):
+    mse = jnp.mean((img - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def _gaussian_window(size: int, sigma: float):
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return g[:, None] @ g[None, :]  # (size, size)
+
+
+def _depthwise_conv2d(img, kernel, padding="SAME"):
+    """img (H, W, C), kernel (kh, kw) -> (H, W, C)."""
+    C = img.shape[-1]
+    k = jnp.broadcast_to(kernel[None, None], (C, 1, *kernel.shape))
+    out = jax.lax.conv_general_dilated(
+        img.transpose(2, 0, 1)[None],  # (1, C, H, W)
+        k.reshape(C, 1, *kernel.shape),
+        window_strides=(1, 1),
+        padding=padding,
+        feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0].transpose(1, 2, 0)
+
+
+def ssim(img1, img2, window_size: int = 11):
+    """Gaussian-window SSIM, zero padding (loss_utils.py:96-124)."""
+    w = _gaussian_window(window_size, 1.5)
+    mu1 = _depthwise_conv2d(img1, w)
+    mu2 = _depthwise_conv2d(img2, w)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _depthwise_conv2d(img1 * img1, w) - mu1_sq
+    s2 = _depthwise_conv2d(img2 * img2, w) - mu2_sq
+    s12 = _depthwise_conv2d(img1 * img2, w) - mu12
+    C1, C2 = 0.01**2, 0.03**2
+    m = ((2 * mu12 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    return jnp.mean(m)
+
+
+def spatial_gradient(img):
+    """Normalized Sobel gradients with replicate padding (kornia
+    spatial_gradient): img (H, W, C) -> (H, W, C, 2) [dx, dy]."""
+    sx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
+    sy = sx.T
+    pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    gx = _depthwise_conv2d(pad, sx, padding="VALID")
+    gy = _depthwise_conv2d(pad, sy, padding="VALID")
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def first_order_edge_aware_loss(data, img):
+    """(|grad data| * exp(-|grad img|)) (loss_utils.py:121)."""
+    gd = jnp.abs(spatial_gradient(data))
+    gi = jnp.abs(spatial_gradient(img))
+    # Broadcast over channels like the torch version (C=1 data vs C=3 img).
+    prod = gd * jnp.exp(-gi)
+    return jnp.mean(jnp.sum(prod, axis=-1))
+
+
+def get_img_grad_weight(img):
+    """Inverse-gradient pixel weights (loss_utils.py:127-141). img (H, W, C)."""
+    H, W = img.shape[:2]
+    right = img[1 : H - 1, 2:W]
+    left = img[1 : H - 1, 0 : W - 2]
+    top = img[0 : H - 2, 1 : W - 1]
+    bottom = img[2:H, 1 : W - 1]
+    gx = jnp.mean(jnp.abs(right - left), axis=-1)
+    gy = jnp.mean(jnp.abs(top - bottom), axis=-1)
+    g = jnp.maximum(gx, gy)
+    g = (g - g.min()) / jnp.maximum(g.max() - g.min(), 1e-12)
+    return jnp.pad(g, 1, constant_values=1.0)  # (H, W)
+
+
+def smooth_loss_simple(data):
+    return jnp.mean(jnp.sum(jnp.abs(spatial_gradient(data)), axis=-1))
+
+
+def lncc(ref, nea):
+    """Patch NCC (loss_utils.py:230-263). ref/nea (B, ps*ps) grayscale patches.
+
+    Returns (ncc (B, 1), mask (B, 1))."""
+    bs, tps = nea.shape
+    ps = int(math.isqrt(tps))
+    r = ref.reshape(bs, ps, ps)
+    n = nea.reshape(bs, ps, ps)
+    ref_sum = r.sum(axis=(1, 2))
+    nea_sum = n.sum(axis=(1, 2))
+    ref2_sum = (r * r).sum(axis=(1, 2))
+    nea2_sum = (n * n).sum(axis=(1, 2))
+    rn_sum = (r * n).sum(axis=(1, 2))
+    ref_avg = ref_sum / tps
+    nea_avg = nea_sum / tps
+    cross = rn_sum - nea_avg * ref_sum
+    ref_var = ref2_sum - ref_avg * ref_sum
+    nea_var = nea2_sum - nea_avg * nea_sum
+    cc = cross * cross / (ref_var * nea_var + 1e-8)
+    ncc = jnp.clip(1.0 - cc, 0.0, 2.0)[:, None]
+    return ncc, ncc < 0.9
+
+
+def calculate_loss(
+    gt_image: jax.Array,  # (H, W, 3)
+    render_pkg: dict,
+    opt: OptimizationParams,
+    iteration: jax.Array,
+    image_weight: jax.Array | None = None,  # (H, W)
+):
+    """Core photometric + geometric losses (loss_utils.py:142-228).
+
+    Returns (loss, tb_dict). Stage gates evaluate with jnp.where so one jit
+    covers the whole curriculum.
+    """
+    it = jnp.asarray(iteration, jnp.float32)
+    img = render_pkg["render"]
+    tb = {}
+
+    Ll1 = l1_loss(img, gt_image)
+    ssim_val = ssim(img, gt_image)
+    loss = (1.0 - opt.lambda_dssim) * Ll1 + opt.lambda_dssim * (1.0 - ssim_val)
+    tb["loss_l1"] = Ll1
+    tb["ssim"] = ssim_val
+    tb["psnr"] = psnr(img, gt_image)
+
+    if opt.lambda_normal_render_depth > 0:
+        gate = (it > opt.normal_loss_start).astype(jnp.float32)
+        rn = render_pkg["rend_normal"]
+        sn = render_pkg["surf_normal"]
+        if image_weight is not None and not opt.wo_image_weight:
+            ln = jnp.mean(image_weight * jnp.sum(jnp.abs(sn - rn), axis=-1))
+        else:
+            ln = jnp.mean(1.0 - jnp.sum(rn * sn, axis=-1))
+        tb["loss_normal_render_depth"] = ln
+        loss = loss + gate * opt.lambda_normal_render_depth * ln
+
+    if opt.lambda_dist > 0:
+        gate = (it > opt.dist_loss_start).astype(jnp.float32)
+        dl = jnp.mean(render_pkg["rend_dist"])
+        tb["loss_dist"] = dl
+        loss = loss + gate * opt.lambda_dist * dl
+
+    if opt.lambda_normal_smooth > 0:
+        gate = (
+            (it > opt.normal_smooth_from_iter) & (it < opt.normal_smooth_until_iter)
+        ).astype(jnp.float32)
+        ns = first_order_edge_aware_loss(render_pkg["rend_normal"], gt_image)
+        tb["loss_normal_smooth"] = ns
+        loss = loss + gate * opt.lambda_normal_smooth * ns
+
+    if opt.lambda_depth_smooth > 0:
+        gate = (it > 3000).astype(jnp.float32)
+        ds = first_order_edge_aware_loss(
+            render_pkg["surf_depth"][..., None], gt_image
+        )
+        tb["loss_depth_smooth"] = ds
+        loss = loss + gate * opt.lambda_depth_smooth * ds
+
+    tb["loss"] = loss
+    return loss, tb

@@ -1,0 +1,108 @@
+"""Splat tracer: Pallas bundle tracer vs exact-order jnp reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from materialrefgs_tpu.ops.tracer.api import TracerConfig, trace
+from materialrefgs_tpu.ops.tracer.reference import trace_reference
+from materialrefgs_tpu.utils import sh as sh_utils
+
+CFG = TracerConfig(
+    pair_capacity=1 << 13, cluster_pair_capacity=1 << 10, interpret=True
+)
+
+
+def make_scene(rng, P=64, spread=2.0):
+    means = rng.uniform(-spread, spread, size=(P, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(size=(P, 2)).astype(np.float32) * 0.3 - 2.2)
+    rots = rng.normal(size=(P, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, size=(P,)).astype(np.float32)
+    colors = rng.uniform(0.2, 0.8, size=(P, 3)).astype(np.float32)
+    # Degree-0 SH so pallas (bundle-dir SH) == reference (fixed colors).
+    shs = np.zeros((P, 16, 3), np.float32)
+    shs[:, 0, :] = sh_utils.rgb_to_sh(colors)
+    return tuple(
+        jnp.asarray(a) for a in (means, scales, rots, opac, colors, shs)
+    )
+
+
+def make_rays(rng, n_bundles=2):
+    """Coherent bundles: parallel-ish rays from a plane."""
+    N = n_bundles * 256
+    o = np.zeros((N, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.3, 0.3, N)
+    o[:, 1] = rng.uniform(-0.3, 0.3, N)
+    o[:, 2] = -6.0
+    d = np.zeros((N, 3), np.float32)
+    d[:, 0] = rng.uniform(-0.05, 0.05, N)
+    d[:, 1] = rng.uniform(-0.05, 0.05, N)
+    d[:, 2] = 1.0
+    # Second bundle points slightly differently.
+    for b in range(n_bundles):
+        d[b * 256 : (b + 1) * 256, 0] += 0.15 * b
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_tracer_matches_reference():
+    rng = np.random.default_rng(0)
+    means, scales, rots, opac, colors, shs = make_scene(rng)
+    ro, rd = make_rays(rng)
+
+    ref = trace_reference(ro, rd, means, scales, rots, opac, colors)
+    out = trace(ro, rd, means, scales, rots, opac, shs, CFG)
+
+    assert float(out["overflow"]) == 0
+    for k, tol in [("rgb", 2e-3), ("acc", 2e-3), ("depth", 2e-2), ("normal", 2e-3)]:
+        a = np.asarray(out[k])
+        b = np.asarray(ref[k])
+        # Ordering approximations may differ on a tiny fraction of rays where
+        # overlapping splats swap; require near-exact on 99%+ of rays.
+        err = np.abs(a - b).reshape(a.shape[0], -1).max(axis=-1)
+        frac_bad = float(np.mean(err > tol))
+        assert frac_bad < 0.02, (k, frac_bad, err.max())
+
+
+def test_tracer_miss_gives_zero():
+    rng = np.random.default_rng(1)
+    means, scales, rots, opac, colors, shs = make_scene(rng)
+    ro = jnp.full((256, 3), 100.0)  # far away from everything
+    rd = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (256, 1))
+    out = trace(ro, rd, means, scales, rots, opac, shs, CFG)
+    np.testing.assert_allclose(np.asarray(out["acc"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), 0.0, atol=1e-6)
+
+
+def test_tracer_gradients():
+    rng = np.random.default_rng(2)
+    means, scales, rots, opac, colors, shs = make_scene(rng, P=32)
+    ro, rd = make_rays(rng, n_bundles=1)
+
+    def f_pallas(means, opac, shs, ro, rd):
+        out = trace(ro, rd, means, scales, rots, opac, shs, CFG)
+        return (
+            jnp.sum(out["rgb"] * 1.3)
+            + jnp.sum(out["depth"]) * 0.1
+            + jnp.sum(out["normal"] * 0.3)
+            + jnp.sum(out["acc"]) * 0.5
+        )
+
+    def f_ref(means, opac, colors, ro, rd):
+        out = trace_reference(ro, rd, means, scales, rots, opac, colors)
+        return (
+            jnp.sum(out["rgb"] * 1.3)
+            + jnp.sum(out["depth"]) * 0.1
+            + jnp.sum(out["normal"] * 0.3)
+            + jnp.sum(out["acc"]) * 0.5
+        )
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 3, 4))(means, opac, shs, ro, rd)
+    gr = jax.grad(f_ref, argnums=(0, 1, 3, 4))(means, opac, colors, ro, rd)
+    names = ["means", "opacity", "rays_o", "rays_d"]
+    for n, a, b in zip(names, gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), n
+        scale = max(np.abs(b).max(), 1e-3)
+        frac_bad = np.mean(np.abs(a - b) > 5e-3 * scale + 1e-4)
+        assert frac_bad < 0.02, (n, frac_bad, np.abs(a - b).max(), scale)
