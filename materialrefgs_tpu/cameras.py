@@ -209,3 +209,57 @@ def look_at_camera(
     R = np.stack([right, down, fwd], axis=1)
     T = -R.T @ eye  # world-to-cam translation
     return make_camera(R, T, fovx, fovy, width, height)
+
+
+def make_minicam(
+    width: int,
+    height: int,
+    fovy: float,
+    fovx: float,
+    world_view: np.ndarray,
+    full_proj: np.ndarray,
+    znear: float = ZNEAR,
+    zfar: float = ZFAR,
+) -> Camera:
+    """MiniCam (scene/cameras.py:117): camera from raw transform matrices
+    (remote-viewer protocol)."""
+    cam_center = np.linalg.inv(np.asarray(world_view))[3, :3]
+    fx, fy = fov2focal(fovx, width), fov2focal(fovy, height)
+    return Camera(
+        world_view=jnp.asarray(world_view, jnp.float32),
+        full_proj=jnp.asarray(full_proj, jnp.float32),
+        camera_center=jnp.asarray(cam_center, jnp.float32),
+        fx=jnp.float32(fx),
+        fy=jnp.float32(fy),
+        cx=jnp.float32(0.5 * width),
+        cy=jnp.float32(0.5 * height),
+        width=int(width),
+        height=int(height),
+        fovx=float(fovx),
+        fovy=float(fovy),
+        znear=float(znear),
+        zfar=float(zfar),
+    )
+
+
+def gen_virtual_cam(
+    camera: Camera,
+    rng: np.random.Generator,
+    trans_noise: float = 1.5,
+    deg_noise: float = 30.0,
+) -> Camera:
+    """Noise-perturbed virtual view (utils/camera_utils.py:126 gen_virtul_cam)."""
+    from scipy.spatial.transform import Rotation as SciR
+
+    wv = np.asarray(camera.world_view).T  # W2V (column convention)
+    Rw2c = wv[:3, :3]
+    t = wv[:3, 3]
+    ang = np.deg2rad(rng.uniform(-deg_noise, deg_noise, 3))
+    Rn = SciR.from_euler("xyz", ang).as_matrix()
+    tn = rng.uniform(-trans_noise, trans_noise, 3) * 0.1
+    R_new = Rn @ Rw2c
+    t_new = t + tn
+    # make_camera takes cam-to-world rotation (transposed storage convention).
+    return make_camera(
+        R_new.T, t_new, camera.fovx, camera.fovy, camera.width, camera.height
+    )

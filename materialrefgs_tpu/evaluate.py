@@ -1,0 +1,103 @@
+"""Evaluation (reference eval.py): render train/test sets, compute
+PSNR/SSIM (+FPS), dump per-map PNGs and metric.txt.
+
+LPIPS divergence: the reference uses lpipsPyTorch with pretrained VGG
+weights; this environment has no pretrained weights available offline, so
+LPIPS is reported as None (the metric.txt line is kept for format parity).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from materialrefgs_tpu.cameras import Camera
+from materialrefgs_tpu.models.env_light import EnvLightMips
+from materialrefgs_tpu.models.gaussian_model import GaussianModel
+from materialrefgs_tpu.ops.tracer.api import TracerConfig
+from materialrefgs_tpu.render.envgs import render_surfel2
+from materialrefgs_tpu.render.renderers import RenderOptions, render_surfel
+from materialrefgs_tpu.train.losses import psnr, ssim
+
+
+def save_png(path: str, img: np.ndarray):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.clip(np.asarray(img), 0, 1)
+    if arr.ndim == 2:
+        arr = arr[..., None].repeat(3, -1)
+    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+
+
+def depth_vis(depth: np.ndarray) -> np.ndarray:
+    d = np.asarray(depth)
+    lo, hi = np.percentile(d[d > 0], 2) if (d > 0).any() else 0, d.max() + 1e-8
+    return np.clip((d - lo) / max(hi - lo, 1e-8), 0, 1)
+
+
+def render_set(
+    out_dir: str,
+    name: str,
+    cameras: list[Camera],
+    images: list[np.ndarray],
+    model: GaussianModel,
+    envmap: EnvLightMips,
+    env_model: GaussianModel | None = None,
+    opts: RenderOptions = RenderOptions(),
+    tracer_cfg: TracerConfig = TracerConfig(),
+    dump_maps: bool = True,
+) -> dict:
+    """reference eval.py:23-106 render_set: per-view metrics + map dumps."""
+    psnrs, ssims, times = [], [], []
+
+    def run(cam):
+        if env_model is not None:
+            return render_surfel2(
+                model, env_model, cam, jnp.zeros(3), envmap, opts, tracer_cfg
+            )
+        return render_surfel(model, cam, jnp.zeros(3), envmap, opts)
+
+    run_jit = jax.jit(run)
+    for idx, (cam, gt) in enumerate(zip(cameras, images)):
+        t0 = time.perf_counter()
+        pkg = run_jit(cam)
+        jax.block_until_ready(pkg["render"])
+        times.append(time.perf_counter() - t0)
+        gt = jnp.asarray(gt)
+        psnrs.append(float(psnr(pkg["render"], gt)))
+        ssims.append(float(ssim(pkg["render"], gt)))
+        if dump_maps:
+            base = os.path.join(out_dir, name)
+            save_png(f"{base}/renders/{idx:05d}.png", pkg["render"])
+            save_png(f"{base}/gt/{idx:05d}.png", gt)
+            save_png(f"{base}/normal/{idx:05d}.png", np.asarray(pkg["rend_normal"]) * 0.5 + 0.5)
+            save_png(f"{base}/depth/{idx:05d}.png", depth_vis(pkg["surf_depth"]))
+            save_png(f"{base}/diffuse/{idx:05d}.png", pkg["diffuse_map"])
+            save_png(f"{base}/specular/{idx:05d}.png", pkg["specular_map"])
+            save_png(f"{base}/albedo/{idx:05d}.png", pkg["base_color_map"])
+            save_png(f"{base}/roughness/{idx:05d}.png", np.asarray(pkg["roughness_map"])[..., 0])
+            save_png(f"{base}/metallic/{idx:05d}.png", np.asarray(pkg["refl_strength_map"])[..., 0])
+
+    # Skip the first frame's wall time (jit compile).
+    fps = 1.0 / np.mean(times[1:]) if len(times) > 1 else 1.0 / max(times[0], 1e-9)
+    return {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "lpips": None,  # no pretrained VGG offline; see module docstring
+        "fps": float(fps),
+        "per_view_psnr": psnrs,
+    }
+
+
+def write_metrics(out_dir: str, metrics: dict):
+    """metric.txt (eval.py:72-74)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metric.txt"), "w") as f:
+        f.write(f"psnr: {metrics['psnr']}\n")
+        f.write(f"ssim: {metrics['ssim']}\n")
+        f.write(f"lpips: {metrics['lpips']}\n")
+        f.write(f"fps: {metrics['fps']}\n")

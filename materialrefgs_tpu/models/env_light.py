@@ -73,3 +73,22 @@ class EnvLightMips:
             )
             light = cm.sample_mip_chain(list(self.specular), dirs, mip)
         return jax.nn.sigmoid(light)
+
+
+def load_envlight_from_hdr(path: str, res: int = 128, scale: float = 1.0) -> EnvLightParams:
+    """EnvLight.load (scene/light.py:46-70): HDR latlong -> srgb -> logits ->
+    cubemap."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from materialrefgs_tpu.ops.cubemap import latlong_to_cubemap
+    from materialrefgs_tpu.utils.transforms import inverse_sigmoid, linear_to_srgb
+
+    hdr = np.asarray(imageio.imread(path), np.float32)
+    if hdr.ndim == 2:
+        hdr = hdr[..., None].repeat(3, -1)
+    ldr = np.asarray(linear_to_srgb(jnp.asarray(np.clip(hdr[..., :3], 1e-4, 255.0))))
+    img = jnp.clip(jnp.asarray(ldr) * scale, 0.001, 1 - 0.001)
+    logits = inverse_sigmoid(img)
+    cube = latlong_to_cubemap(logits, res)
+    return EnvLightParams(base=cube)

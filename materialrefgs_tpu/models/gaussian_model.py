@@ -495,3 +495,90 @@ def reset_scale(model: GaussianModel, exclusive_msk=None) -> GaussianModel:
             scaling=enlarge_refl_scales(model, exclusive_msk=exclusive_msk)
         )
     )
+
+
+def reset_opacity1_strategy2(model: GaussianModel) -> GaussianModel:
+    """gaussian_model.py:548-554: scale opacities by 1.5 (clamped)."""
+    op = jax.nn.sigmoid(model.params.opacity)
+    new = inverse_sigmoid(jnp.clip(op * 1.5, 1e-6, 0.99))
+    new = jnp.where(model.alive[:, None], new, -15.0)
+    return model.replace(params=model.params.replace(opacity=new))
+
+
+def reset_specular(model: GaussianModel, exclusive_msk=None) -> GaussianModel:
+    """gaussian_model.py:566-573: floor the EnvGS blend weight (metalness)."""
+    sp = jax.nn.sigmoid(model.params.metalness)
+    new = inverse_sigmoid(jnp.maximum(sp, INIT_METALNESS))
+    if exclusive_msk is not None:
+        new = jnp.where(exclusive_msk[:, None], model.params.metalness, new)
+    return model.replace(params=model.params.replace(metalness=new))
+
+
+def dist_rot(model: GaussianModel, key: jax.Array) -> GaussianModel:
+    """gaussian_model.py:575-584: perturb rotations of low-refl gaussians."""
+    refl_msk = (jax.nn.sigmoid(model.params.refl_strength) > 0.02)[:, 0]
+    q = model.get_rotation
+    noise = jax.random.normal(key, q.shape) * 0.08
+    qn = q + noise
+    qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
+    new = jnp.where(refl_msk[:, None], q, qn)
+    return model.replace(params=model.params.replace(rotation=new))
+
+
+def dist_albedo(model: GaussianModel, key: jax.Array, exclusive_msk=None) -> GaussianModel:
+    """gaussian_model.py:586-597: perturb raw albedo of low-refl gaussians."""
+    refl_msk = (jax.nn.sigmoid(model.params.refl_strength) > 0.02)[:, 0]
+    if exclusive_msk is not None:
+        refl_msk = refl_msk | exclusive_msk
+    oc = model.params.ori_color
+    noise = jax.random.uniform(key, oc.shape) * 0.8 - 0.4
+    new = jnp.where(refl_msk[:, None], oc, oc + noise)
+    return model.replace(params=model.params.replace(ori_color=new))
+
+
+def reset_features(model: GaussianModel, dc_value=0.0, rest_value=0.0) -> GaussianModel:
+    """gaussian_model.py:676-697: zero SH features, reset active degree."""
+    return model.replace(
+        params=model.params.replace(
+            features_dc=jnp.full_like(model.params.features_dc, dc_value),
+            features_rest=jnp.full_like(model.params.features_rest, rest_value),
+        ),
+        active_sh_degree=jnp.int32(0),
+    )
+
+
+def reset_ori_color(model: GaussianModel, key: jax.Array, reset_value=0.5, noise_level=0.05) -> GaussianModel:
+    """gaussian_model.py:699+: re-init albedo around reset_value."""
+    noise = (jax.random.uniform(key, model.params.ori_color.shape) - 0.5) * noise_level
+    v = jnp.clip(reset_value + noise, 1e-4, 1 - 1e-4)
+    return model.replace(params=model.params.replace(ori_color=inverse_sigmoid(v)))
+
+
+def reset_roughness(model: GaussianModel, value=INIT_ROUGHNESS) -> GaussianModel:
+    v = jnp.full_like(model.params.roughness, float(jnp.log(value / (1 - value))))
+    return model.replace(params=model.params.replace(roughness=v))
+
+
+def reset_refl_strength(model: GaussianModel, value=INIT_REFL) -> GaussianModel:
+    v = jnp.full_like(model.params.refl_strength, float(jnp.log(value / (1 - value))))
+    return model.replace(params=model.params.replace(refl_strength=v))
+
+
+def get_triangles(model: GaussianModel) -> tuple[jax.Array, jax.Array]:
+    """2DGS -> 2 triangles / 4 vertices per splat at 3 sigma
+    (gaussian_model.py:1118+ / optix_utils.py:36-66). Returns
+    (vertices (CAP*4, 3), faces (CAP*2, 3)); dead splats collapse to a point."""
+    R = quat_to_rotmat(model.get_rotation)
+    s = jnp.exp(model.params.scaling) * model.alive[:, None]
+    tu = R[:, :, 0] * s[:, 0:1] * 3.0
+    tv = R[:, :, 1] * s[:, 1:2] * 3.0
+    p = model.params.xyz
+    corners = jnp.stack(
+        [p - tu + tv, p - tu - tv, p + tu + tv, p + tu - tv], axis=1
+    )  # (CAP, 4, 3)
+    cap = model.capacity
+    base = jnp.arange(cap)[:, None] * 4
+    f1 = base + jnp.array([[0, 1, 2]])
+    f2 = base + jnp.array([[1, 3, 2]])
+    faces = jnp.concatenate([f1, f2], axis=0)
+    return corners.reshape(-1, 3), faces.astype(jnp.int32)

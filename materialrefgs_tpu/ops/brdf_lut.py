@@ -19,7 +19,7 @@ import numpy as np
 
 _LUT_RES = 256
 _CACHE = os.path.join(os.path.dirname(__file__), "_fg_lut_256.npy")
-_lut_cached: jax.Array | None = None
+_lut_cached: np.ndarray | None = None
 
 
 def _hammersley(n: int) -> np.ndarray:
@@ -81,8 +81,8 @@ def get_fg_lut() -> jax.Array:
                 np.save(_CACHE, arr)
             except OSError:
                 pass
-        _lut_cached = jnp.asarray(arr)
-    return _lut_cached
+        _lut_cached = arr  # cache numpy; convert per use site (trace safety)
+    return jnp.asarray(_lut_cached)
 
 
 def sample_fg_lut(nov: jax.Array, roughness: jax.Array) -> jax.Array:

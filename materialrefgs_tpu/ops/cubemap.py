@@ -163,7 +163,9 @@ def _ggx_sample_dirs(roughness: float, n_samples: int):
     l = 2.0 * h[:, 2:3] * h - np.array([0.0, 0.0, 1.0])
     nol = np.maximum(l[:, 2], 0.0)
     keep = nol > 1e-6
-    return jnp.asarray(l[keep], jnp.float32), jnp.asarray(nol[keep], jnp.float32)
+    # Cache NUMPY (never jnp: arrays created inside a jit trace are tracers
+    # and must not leak across traces via the lru_cache).
+    return l[keep].astype(np.float32), nol[keep].astype(np.float32)
 
 
 def ggx_prefilter(
@@ -176,7 +178,8 @@ def ggx_prefilter(
         return cubemap
     six, R, _, C = cubemap.shape
     dirs = face_dirs(R)  # (6,R,R,3)
-    l_tan, nol = _ggx_sample_dirs(float(roughness), n_samples)  # (M,3),(M,)
+    l_np, nol_np = _ggx_sample_dirs(float(roughness), n_samples)
+    l_tan, nol = jnp.asarray(l_np), jnp.asarray(nol_np)  # (M,3),(M,)
     # Build per-texel tangent frames (branchless: pick a helper axis).
     n = dirs
     helper = jnp.where(
@@ -254,3 +257,45 @@ def sample_mip_chain(levels: list, dirs: jax.Array, mip: jax.Array) -> jax.Array
     hi = jnp.minimum(lo + 1, L - 1)
     take_hi = jnp.take_along_axis(samples, hi[None, ..., None], axis=0)[0]
     return take_lo * (1 - frac) + take_hi * frac
+
+
+def latlong_to_cubemap(latlong: jax.Array, res: int) -> jax.Array:
+    """(H, W, C) equirectangular -> (6, res, res, C) cubemap
+    (scene/light_utils.py:34-47)."""
+    H, W, C = latlong.shape
+    v = face_dirs(res)  # (6, res, res, 3), unit
+    tu = jnp.arctan2(v[..., 0], -v[..., 2]) / (2 * np.pi) + 0.5
+    tv = jnp.arccos(jnp.clip(v[..., 1], -1, 1)) / np.pi
+    x = tu * W - 0.5
+    y = tv * H - 0.5
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    fx = jnp.clip(x - x0, 0, 1)[..., None]
+    fy = jnp.clip(y - y0, 0, 1)[..., None]
+    x0, x1, y0, y1 = (a.astype(jnp.int32) for a in (x0, x1, y0, y1))
+    out = (
+        latlong[y0, x0] * (1 - fx) * (1 - fy)
+        + latlong[y0, x1] * fx * (1 - fy)
+        + latlong[y1, x0] * (1 - fx) * fy
+        + latlong[y1, x1] * fx * fy
+    )
+    return out
+
+
+def cubemap_to_latlong(cubemap: jax.Array, H: int, W: int) -> jax.Array:
+    """(6, R, R, C) -> (H, W, C) equirectangular (scene/light_utils.py:50-64)."""
+    gy = jnp.linspace(0.0 + 1.0 / H, 1.0 - 1.0 / H, H)[:, None]
+    gx = jnp.linspace(-1.0 + 1.0 / W, 1.0 - 1.0 / W, W)[None, :]
+    sintheta, costheta = jnp.sin(gy * np.pi), jnp.cos(gy * np.pi)
+    sinphi, cosphi = jnp.sin(gx * np.pi), jnp.cos(gx * np.pi)
+    refl = jnp.stack(
+        [
+            jnp.broadcast_to(sintheta * sinphi, (H, W)),
+            jnp.broadcast_to(costheta, (H, W)),
+            jnp.broadcast_to(-sintheta * cosphi, (H, W)),
+        ],
+        axis=-1,
+    )
+    return sample_cubemap(cubemap, refl)

@@ -1,0 +1,246 @@
+"""Mesh extraction: TSDF fusion + marching tetrahedra (host-side numpy).
+
+Replaces the reference's Open3D ScalableTSDFVolume + marching cubes pipeline
+(utils/mesh_utils.py GaussianExtractor:81, extract_mesh_bounded:212,
+post_process_mesh:30). Open3D is not available here; fusion is a dense
+voxel-grid TSDF integrated per view, and iso-surfacing uses marching
+TETRAHEDRA (6 tets per cube) — table-free and derivable from first
+principles, at the cost of somewhat more triangles than marching cubes.
+
+The mesh role in the reference (BVH visibility tracing) is covered by the
+splat tracer; this module provides the user-facing mesh artifact + TSDF
+parity (voxel_size = depth_trunc / mesh_res, sdf_trunc = 5 * voxel_size).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from materialrefgs_tpu.cameras import Camera
+
+# Cube corner offsets and a 6-tetrahedra decomposition of the unit cube.
+_CORNERS = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    np.int32,
+)
+_TETS = np.array(
+    [[0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6]],
+    np.int32,
+)
+
+
+def tsdf_fusion(
+    cameras: list[Camera],
+    depths: list[np.ndarray],  # (H, W) per view (alpha-masked: 0 = empty)
+    alphas: list[np.ndarray],  # (H, W)
+    center: np.ndarray,
+    radius: float,
+    resolution: int = 128,
+    depth_trunc: float | None = None,
+    sdf_trunc: float | None = None,
+    alpha_thres: float = 0.5,
+):
+    """Dense TSDF over a cube of half-size `radius` around `center`.
+
+    Returns (tsdf (R,R,R), weights, origin, voxel_size)."""
+    R = resolution
+    voxel = 2.0 * radius / R
+    if depth_trunc is None:
+        depth_trunc = radius * 2.0
+    if sdf_trunc is None:
+        sdf_trunc = 5.0 * voxel
+    origin = np.asarray(center, np.float32) - radius
+
+    ax = origin[0] + (np.arange(R) + 0.5) * voxel
+    ay = origin[1] + (np.arange(R) + 0.5) * voxel
+    az = origin[2] + (np.arange(R) + 0.5) * voxel
+    gx, gy, gz = np.meshgrid(ax, ay, az, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+    homog = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], axis=1)
+
+    tsdf = np.zeros(len(pts), np.float32)
+    weight = np.zeros(len(pts), np.float32)
+
+    for cam, depth, alpha in zip(cameras, depths, alphas):
+        wv = np.asarray(cam.world_view)
+        p_view = homog @ wv  # (N, 4) row-vector convention
+        z = p_view[:, 2]
+        valid = z > 0.05
+        fx, fy = float(cam.fx), float(cam.fy)
+        cx, cy = float(cam.cx), float(cam.cy)
+        u = p_view[:, 0] * fx / np.maximum(z, 1e-8) + cx
+        v = p_view[:, 1] * fy / np.maximum(z, 1e-8) + cy
+        H, W = depth.shape
+        ui = np.round(u).astype(np.int64)
+        vi = np.round(v).astype(np.int64)
+        valid &= (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        ui = np.clip(ui, 0, W - 1)
+        vi = np.clip(vi, 0, H - 1)
+        d = depth[vi, ui]
+        a = alpha[vi, ui]
+        valid &= (a > alpha_thres) & (d > 0) & (d < depth_trunc)
+        sdf = (d - z) / sdf_trunc
+        valid &= sdf > -1.0
+        sdf = np.clip(sdf, -1.0, 1.0)
+        w_new = np.where(valid, 1.0, 0.0).astype(np.float32)
+        tsdf = (tsdf * weight + np.where(valid, sdf, 0.0) * w_new) / np.maximum(
+            weight + w_new, 1e-8
+        )
+        weight = weight + w_new
+
+    shape = (R, R, R)
+    return tsdf.reshape(shape), weight.reshape(shape), origin, voxel
+
+
+def marching_tetrahedra(tsdf: np.ndarray, weight: np.ndarray, origin, voxel, iso=0.0):
+    """Iso-surface of the TSDF. Returns (vertices (V,3), faces (F,3))."""
+    R = tsdf.shape[0]
+    # Valid cubes: all 8 corners observed.
+    obs = weight > 0
+    idx = np.arange(R - 1)
+    cx, cy, cz = np.meshgrid(idx, idx, idx, indexing="ij")
+    cubes = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+
+    corner_idx = cubes[:, None, :] + _CORNERS[None, :, :]  # (C, 8, 3)
+    ci = corner_idx.reshape(-1, 3)
+    vals = tsdf[ci[:, 0], ci[:, 1], ci[:, 2]].reshape(-1, 8)
+    ok = obs[ci[:, 0], ci[:, 1], ci[:, 2]].reshape(-1, 8).all(axis=1)
+    # Keep only cubes that straddle the iso level.
+    inside = vals < iso
+    straddle = ok & inside.any(axis=1) & (~inside).any(axis=1)
+    cubes = cubes[straddle]
+    vals = vals[straddle]
+    if len(cubes) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+
+    verts_out = []
+    for tet in _TETS:
+        tv = vals[:, tet]  # (C, 4)
+        tin = tv < iso
+        n_in = tin.sum(axis=1)
+        tpos = (cubes[:, None, :] + _CORNERS[tet][None, :, :]).astype(np.float32)
+
+        def interp(mask_rows, a_idx, b_idx):
+            """Edge intersections for rows in mask: between local corners."""
+            va = tv[mask_rows, a_idx]
+            vb = tv[mask_rows, b_idx]
+            t = (iso - va) / np.where(np.abs(vb - va) < 1e-12, 1e-12, vb - va)
+            t = np.clip(t, 0.0, 1.0)[:, None]
+            pa = tpos[mask_rows, a_idx]
+            pb = tpos[mask_rows, b_idx]
+            return pa + t * (pb - pa)
+
+        for flip, k in ((False, 1), (True, 3)):
+            # k corners inside (or, flipped, 1 outside) -> one triangle.
+            rows = np.where(n_in == k)[0]
+            if len(rows) == 0:
+                continue
+            # The lone corner (inside for k=1; outside for k=3).
+            lone_mask = tin[rows] if k == 1 else ~tin[rows]
+            lone = np.argmax(lone_mask, axis=1)
+            others = np.array([[j for j in range(4) if j != l] for l in lone])
+            tri = np.stack(
+                [
+                    interp(rows, lone, others[:, 0]),
+                    interp(rows, lone, others[:, 1]),
+                    interp(rows, lone, others[:, 2]),
+                ],
+                axis=1,
+            )
+            verts_out.append(tri)
+
+        rows = np.where(n_in == 2)[0]
+        if len(rows) > 0:
+            # Two inside, two outside -> quad (two triangles) across 4 edges.
+            ins = np.argsort(~tin[rows], axis=1)[:, :2]
+            outs = np.argsort(tin[rows], axis=1)[:, :2]
+            a, b = ins[:, 0], ins[:, 1]
+            c, d = outs[:, 0], outs[:, 1]
+            pac = interp(rows, a, c)
+            pad = interp(rows, a, d)
+            pbc = interp(rows, b, c)
+            pbd = interp(rows, b, d)
+            verts_out.append(np.stack([pac, pad, pbd], axis=1))
+            verts_out.append(np.stack([pac, pbd, pbc], axis=1))
+
+    if not verts_out:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tris = np.concatenate(verts_out, axis=0)  # (T, 3, 3) in voxel coords
+    tris = origin[None, None, :] + (tris + 0.5) * voxel
+
+    # Weld vertices.
+    flat = tris.reshape(-1, 3)
+    key = np.round(flat / (voxel * 1e-3)).astype(np.int64)
+    _, uniq_idx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    verts = flat[uniq_idx]
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    # Drop degenerate faces.
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return verts.astype(np.float32), faces[good]
+
+
+def keep_largest_component(verts: np.ndarray, faces: np.ndarray):
+    """post_process_mesh (mesh_utils.py:30): keep the largest cluster."""
+    if len(faces) == 0:
+        return verts, faces
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    adj = coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(len(verts), len(verts))
+    )
+    n, labels = connected_components(adj, directed=False)
+    if n <= 1:
+        return verts, faces
+    largest = np.argmax(np.bincount(labels))
+    keep_v = labels == largest
+    remap = -np.ones(len(verts), np.int64)
+    remap[keep_v] = np.arange(keep_v.sum())
+    keep_f = keep_v[faces].all(axis=1)
+    return verts[keep_v], remap[faces[keep_f]].astype(np.int32)
+
+
+def write_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray):
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(verts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        f.write(verts.astype("<f4").tobytes())
+        fdata = np.empty(len(faces), dtype=[("n", "u1"), ("v", "<i4", 3)])
+        fdata["n"] = 3
+        fdata["v"] = faces
+        f.write(fdata.tobytes())
+
+
+def extract_mesh(
+    cameras: list[Camera],
+    depths: list[np.ndarray],
+    alphas: list[np.ndarray],
+    resolution: int = 128,
+    post_process: bool = True,
+):
+    """GaussianExtractor.reconstruction + extract_mesh_bounded equivalent."""
+    centers = np.stack([np.asarray(c.camera_center) for c in cameras])
+    center = centers.mean(axis=0)
+    radius = float(np.max(np.linalg.norm(centers - center, axis=-1))) * 1.1
+    # Scene content is inside the camera ring; bound by half the ring radius
+    # margin like the reference's bounding-sphere estimate (mesh_utils.py:197).
+    tsdf, w, origin, voxel = tsdf_fusion(
+        cameras, depths, alphas, center, radius, resolution
+    )
+    verts, faces = marching_tetrahedra(tsdf, w, origin, voxel)
+    if post_process:
+        verts, faces = keep_largest_component(verts, faces)
+    return verts, faces

@@ -46,6 +46,8 @@ class TrainState:
     opt_state: Any
     step: jax.Array  # () int32
     opacity_lr_scale: jax.Array  # () f32, 0 or 1 (set_opacity_lr toggle)
+    env_gs: gm.GaussianModel | None = None  # environment gaussians (EnvGS)
+    env_gs_opt_state: Any = None
 
 
 def _param_lrs(opt: OptimizationParams, spatial_lr_scale: float):
@@ -150,11 +152,15 @@ def make_train_step(
     spatial_lr_scale: float,
     raster_cfg: RasterizeConfig,
     envmap_n_samples: int = 32,
+    with_warp: bool = False,
+    with_mono_normal: bool = False,
+    tracer_cfg=None,
 ):
-    """Returns jitted step(state, camera, gt_image, extra) -> (state, metrics).
+    """Returns jitted step(state, camera, gt, extra, nearest_camera,
+    nearest_gt) -> (state, metrics).
 
-    extra: dict of traced scalars {iteration, lambda_normal_render_depth} and
-    optional arrays {image_mask (H,W,1)}.
+    extra: traced scalars {iteration, lambda_normal_render_depth,
+    normal_gamma, warp_key} + arrays {bg, image_mask?, normal_prior?}.
     """
     lrs_of = _param_lrs(opt, spatial_lr_scale)
     tx = make_optimizer()
@@ -166,27 +172,107 @@ def make_train_step(
         srgb=opt.srgb,
         raster=raster_cfg,
     )
+    if tracer_cfg is None:
+        from materialrefgs_tpu.ops.tracer.api import TracerConfig
 
-    def loss_fn(params, env1, env2, offset, state, camera, gt, extra):
+        tracer_cfg = TracerConfig()
+
+    def render_stage(model, env_gs, env1, env2, camera, bg, offset):
+        if stage == "initial":
+            return render_initial(model, camera, bg, ropts, offset)
+        if stage == "volume":
+            mips = EnvLightMips.build(env2, n_samples=envmap_n_samples)
+            return render_volume(model, camera, bg, mips, ropts, offset)
+        mips = EnvLightMips.build(env1, n_samples=envmap_n_samples)
+        if stage == "surfel2":
+            from materialrefgs_tpu.render.envgs import render_surfel2
+
+            return render_surfel2(
+                model, env_gs, camera, bg, mips, ropts, tracer_cfg, offset
+            )
+        return render_surfel(model, camera, bg, mips, ropts, offset)
+
+    def loss_fn(params, env1, env2, env_gs_params, offset, state, camera, gt, extra, nearest_camera, nearest_gt):
         model = state.model.replace(params=params)
+        env_gs = (
+            state.env_gs.replace(params=env_gs_params)
+            if state.env_gs is not None
+            else None
+        )
         it = extra["iteration"]
         lopt = dataclasses.replace(
             opt, lambda_normal_render_depth=0.0
         )  # weight applied manually below (it is iteration-dependent)
 
-        if stage == "initial":
-            pkg = render_initial(model, camera, extra["bg"], ropts, offset)
-        elif stage == "volume":
-            mips = EnvLightMips.build(env2, n_samples=envmap_n_samples)
-            pkg = render_volume(model, camera, extra["bg"], mips, ropts, offset)
-        else:
-            mips = EnvLightMips.build(env1, n_samples=envmap_n_samples)
-            pkg = render_surfel(model, camera, extra["bg"], mips, ropts, offset)
+        pkg = render_stage(model, env_gs, env1, env2, camera, extra["bg"], offset)
 
         image_weight = None
         if not opt.wo_image_weight:
             image_weight = jnp.clip(1.0 - losses.get_img_grad_weight(gt), 0, 1) ** 2
         loss, tb = losses.calculate_loss(gt, pkg, lopt, it, image_weight)
+
+        # Multi-view warp losses (calc_warp_loss, train_refnerf.py:414).
+        if with_warp and stage in ("surfel", "surfel2"):
+            from materialrefgs_tpu.train import warp as warp_mod
+
+            nearest_pkg = render_stage(
+                model, env_gs, env1, env2, nearest_camera, extra["bg"], None
+            )
+            gt_gray = 0.299 * gt[..., 0] + 0.587 * gt[..., 1] + 0.114 * gt[..., 2]
+            ngray = (
+                0.299 * nearest_gt[..., 0]
+                + 0.587 * nearest_gt[..., 1]
+                + 0.114 * nearest_gt[..., 2]
+            )
+            msk = extra.get("image_mask", jnp.ones(gt.shape[:2]))
+            wl = warp_mod.calc_warp_loss(
+                camera, nearest_camera, pkg, nearest_pkg, gt_gray, ngray,
+                msk, opt, it, extra["warp_key"],
+                use_ncc=opt.multi_view_ncc_weight > 0 and opt.use_multi_view_trim,
+            )
+            gate_w = (it > opt.multi_view_weight_from_iter).astype(jnp.float32)
+            loss = loss + gate_w * (
+                wl.geo_loss + wl.ncc_loss + wl.base_color_loss
+                + wl.metallic_warp_loss + wl.roughness_warp_loss
+            )
+            tb["loss_warp_geo"] = wl.geo_loss
+            tb["loss_warp_bc"] = wl.base_color_loss
+
+        # Reflection-score material supervision (train_refreal.py:1237-1263):
+        # inside the score mask pull metallic -> 0.9 / roughness -> 0.05,
+        # inverse outside, plus albedo smoothness in the mask.
+        if stage in ("surfel", "surfel2") and "ref_score_mask" in extra:
+            gate_rs = (it > 10000).astype(jnp.float32)
+            rs = extra["ref_score_mask"][..., None]  # (H, W, 1) bool-ish
+            m_in = rs
+            m_out = 1.0 - rs
+            refl_m = pkg["refl_strength_map"]
+            rough_m = pkg["roughness_map"]
+
+            def masked_mean(x, m):
+                return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+            lrs = masked_mean(jnp.abs(refl_m - 0.9), m_in)
+            lrs = lrs + masked_mean(jnp.abs(rough_m - 0.05), m_in)
+            lrs = lrs + masked_mean(jnp.abs(refl_m - 0.05), m_out)
+            lrs = lrs * opt.ref_score_loss_weight
+            lrs = lrs + 0.5 * opt.ref_score_loss_weight * masked_mean(
+                jnp.abs(0.9 - rough_m), m_out
+            )
+            lrs = lrs + losses.smooth_loss_simple(pkg["base_color_map"] * rs)
+            loss = loss + gate_rs * lrs
+            tb["loss_ref_score"] = lrs
+
+        # Monocular normal prior (mono_normal_loss, train_refnerf.py:202).
+        if with_mono_normal and "normal_prior" in extra:
+            from materialrefgs_tpu.train.warp import mono_normal_loss
+
+            l1s, coss, l1r, cosr = mono_normal_loss(
+                camera, pkg["surf_normal"], pkg["rend_normal"],
+                extra["normal_prior"], extra.get("image_mask"),
+            )
+            loss = loss + extra["normal_gamma"] * 0.5 * (l1s + l1r + coss + cosr)
+            tb["loss_mono_normal"] = l1s + l1r
 
         # Iteration-dependent normal-consistency weight (ladder).
         gate = (it > opt.normal_loss_start).astype(jnp.float32)
@@ -213,12 +299,24 @@ def make_train_step(
         }
         return loss, aux
 
-    def step(state: TrainState, camera: Camera, gt, extra):
+    def step(state: TrainState, camera: Camera, gt, extra, nearest_camera, nearest_gt):
         offset = jnp.zeros((state.model.capacity, 2), jnp.float32)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-            state.model.params, state.env1, state.env2, offset, state, camera, gt, extra
+        env_gs_params = (
+            state.env_gs.params if state.env_gs is not None else None
         )
-        gp, ge1, ge2, goff = grads
+        diff_env_gs = stage == "surfel2" and state.env_gs is not None
+        argnums = (0, 1, 2, 3, 4) if diff_env_gs else (0, 1, 2, 4)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=argnums, has_aux=True
+        )(
+            state.model.params, state.env1, state.env2, env_gs_params, offset,
+            state, camera, gt, extra, nearest_camera, nearest_gt,
+        )
+        if diff_env_gs:
+            gp, ge1, ge2, geg, goff = grads
+        else:
+            gp, ge1, ge2, goff = grads
+            geg = None
 
         updates, opt_state = tx.update(
             (gp, ge1, ge2), state.opt_state, (state.model.params, state.env1, state.env2)
@@ -243,6 +341,26 @@ def make_train_step(
             opt_state=opt_state,
             step=state.step + 1,
         )
+
+        # Environment gaussians: own Adam, stats from xyz grad norms
+        # (reference env_gaussian_model3.update_env_gs uses viewspace grads;
+        # xyz grads serve the same role for the traced path).
+        if stage == "surfel2" and state.env_gs is not None:
+            eg_updates, eg_state = tx.update(
+                geg, state.env_gs_opt_state, state.env_gs.params
+            )
+            eg_lrs = lrs_of(state.step)
+            new_eg = jax.tree_util.tree_map(
+                lambda p, u, lr: p - lr * u, state.env_gs.params, eg_updates, eg_lrs
+            )
+            env_gs = state.env_gs.replace(params=new_eg)
+            gnorm = jnp.linalg.norm(geg.xyz, axis=-1)
+            env_gs = env_gs.replace(
+                xyz_gradient_accum=env_gs.xyz_gradient_accum + gnorm,
+                denom=env_gs.denom + (gnorm > 0).astype(jnp.float32),
+            )
+            state = state.replace(env_gs=env_gs, env_gs_opt_state=eg_state)
+
         metrics = {k: v for k, v in aux["tb"].items()}
         metrics["loss"] = loss
         metrics["overflow"] = aux["overflow"]
@@ -266,11 +384,29 @@ class Trainer:
         raster_cfg: RasterizeConfig = RasterizeConfig(),
         seed: int = 3407,
         envmap_res: int = 128,
+        masks: list[np.ndarray] | None = None,  # (H, W) fg masks
+        normal_priors: list[np.ndarray] | None = None,  # (H, W, 3) Metric3D
+        ref_score_masks: list[np.ndarray] | None = None,  # (H, W) bool masks
+        nearest_ids: list[list[int]] | None = None,  # Scene.nearest_ids
+        with_warp: bool = False,
+        tracer_cfg=None,
     ):
         self.opt = opt
         self.pipe = pipe
         self.cameras = cameras
         self.images = [jnp.asarray(im) for im in images]
+        self.masks = [jnp.asarray(m) for m in masks] if masks else None
+        self.normal_priors = (
+            [jnp.asarray(n) for n in normal_priors] if normal_priors else None
+        )
+        self.ref_score_masks = (
+            [jnp.asarray(m, jnp.float32) for m in ref_score_masks]
+            if ref_score_masks
+            else None
+        )
+        self.nearest_ids = nearest_ids
+        self.with_warp = with_warp and nearest_ids is not None
+        self.tracer_cfg = tracer_cfg
         self.cameras_extent = cameras_extent
         self.bg = jnp.asarray(bg_color, jnp.float32)
         self.raster_cfg = raster_cfg
@@ -303,12 +439,31 @@ class Trainer:
         self.spatial_lr_scale = cameras_extent
         self.metrics_log: list[dict] = []
 
-    def _step_fn(self, stage: str):
-        if stage not in self._steps:
-            self._steps[stage] = make_train_step(
-                stage, self.opt, self.pipe, self.spatial_lr_scale, self.raster_cfg
+    def _step_fn(self, stage: str, warp_on: bool):
+        key = (stage, warp_on)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                stage, self.opt, self.pipe, self.spatial_lr_scale, self.raster_cfg,
+                with_warp=warp_on,
+                with_mono_normal=self.normal_priors is not None,
+                tracer_cfg=self.tracer_cfg,
             )
-        return self._steps[stage]
+        return self._steps[key]
+
+    def _init_env_gs(self):
+        """Env-gaussian init from the main model (restore_from_refgs,
+        env_gaussian_model3.py:553-589: share geometry + SH)."""
+        st = self.state
+        # Deep copy: env_gs must not alias the main model's buffers
+        # (donated jit args may not repeat a buffer).
+        env_gs = jax.tree_util.tree_map(lambda a: a.copy(), st.model)
+        env_gs = env_gs.replace(
+            xyz_gradient_accum=jnp.zeros(st.model.capacity),
+            denom=jnp.zeros(st.model.capacity),
+            max_radii2d=jnp.zeros(st.model.capacity),
+        )
+        tx = make_optimizer()
+        self.state = st.replace(env_gs=env_gs, env_gs_opt_state=tx.init(env_gs.params))
 
     def train(self, num_iters: int, start_iter: int = 1, log_every: int = 100):
         opt = self.opt
@@ -321,13 +476,15 @@ class Trainer:
             gt = self.images[cam_id]
 
             stage = select_stage(iteration, opt)
-            if stage in ("surfel2",):
-                stage = "surfel"  # EnvGS tracing lands in a later milestone
+            if stage == "surfel2" and self.state.env_gs is None:
+                self._init_env_gs()
+                self._steps.clear()  # re-trace with env_gs present
 
             # SH degree ladder (train_refnerf.py:1109-1111).
             if iteration > opt.feature_rest_from_iter and iteration % 1000 == 0:
                 self.state = self.state.replace(model=self.state.model.oneup_sh_degree())
 
+            self.key, wkey = jax.random.split(self.key)
             extra = {
                 "iteration": jnp.float32(iteration),
                 "lambda_normal_render_depth": jnp.float32(
@@ -335,10 +492,35 @@ class Trainer:
                     if opt.lambda_normal_render_depth > 0
                     else 0.0
                 ),
+                "normal_gamma": jnp.float32(normal_gamma_schedule(iteration, opt)),
+                "warp_key": wkey,
                 "bg": self.bg,
             }
-            step = self._step_fn(stage)
-            self.state, metrics = step(self.state, camera, gt, extra)
+            if self.masks is not None:
+                extra["image_mask"] = self.masks[cam_id]
+            if self.normal_priors is not None:
+                extra["normal_prior"] = self.normal_priors[cam_id]
+            if self.ref_score_masks is not None:
+                extra["ref_score_mask"] = self.ref_score_masks[cam_id]
+
+            warp_on = (
+                self.with_warp
+                and stage in ("surfel", "surfel2")
+                and iteration > opt.multi_view_weight_from_iter
+                and len(self.nearest_ids[cam_id]) > 0
+            )
+            if warp_on:
+                nid = self.nearest_ids[cam_id][
+                    self.rng.integers(len(self.nearest_ids[cam_id]))
+                ]
+                nearest_camera, nearest_gt = self.cameras[nid], self.images[nid]
+            else:
+                nearest_camera, nearest_gt = camera, gt
+
+            step = self._step_fn(stage, warp_on)
+            self.state, metrics = step(
+                self.state, camera, gt, extra, nearest_camera, nearest_gt
+            )
 
             self._densify_and_reset(iteration, stage)
 

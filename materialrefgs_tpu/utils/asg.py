@@ -31,10 +31,11 @@ def init_predefined_omega(n_theta: int = 4, n_phi: int = 8):
     omega_la = sph(th + np.pi / 2, ph)
     # Rotating omega_la by pi/2 around omega (they are orthogonal) = cross.
     omega_mu = np.cross(omega, omega_la)
+    # Cache NUMPY (jnp arrays created inside a jit trace must not be cached).
     return (
-        jnp.asarray(omega, jnp.float32),
-        jnp.asarray(omega_la, jnp.float32),
-        jnp.asarray(omega_mu, jnp.float32),
+        omega.astype(np.float32),
+        omega_la.astype(np.float32),
+        omega_mu.astype(np.float32),
     )
 
 
@@ -44,7 +45,8 @@ def eval_asg_indirect(
     reflection: jax.Array,  # (P, 3) reflected view dirs, world
 ) -> jax.Array:
     """gaussian_renderer/__init__.py:318-338; returns (P, 3) >= 0."""
-    omega, omega_la, omega_mu = init_predefined_omega(4, 8)
+    om, om_la, om_mu = init_predefined_omega(4, 8)
+    omega, omega_la, omega_mu = (jnp.asarray(a) for a in (om, om_la, om_mu))
     rot = jnp.swapaxes(rotation_between_z(normals), -1, -2)  # (P, 3, 3)
     refl_local = jnp.einsum("pij,pj->pi", rot, reflection)  # (P, 3)
 

@@ -1,0 +1,75 @@
+"""Evaluation CLI (reference eval.py): load a trained model, render the
+train/test sets, write metrics + per-map PNGs.
+
+Usage: python scripts/eval.py -m output/helmet -s /data/refnerf/helmet
+"""
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model_path", required=True)
+    ap.add_argument("-s", "--source_path", required=True)
+    ap.add_argument("--iteration", type=int, default=-1)
+    ap.add_argument("--preset", default="refnerf", choices=["refnerf", "refreal", "glossy"])
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_test", action="store_true")
+    args = ap.parse_args()
+
+    from materialrefgs_tpu import config as cfg
+    from materialrefgs_tpu.evaluate import render_set, write_metrics
+    from materialrefgs_tpu.models import gaussian_io
+    from materialrefgs_tpu.models.env_light import EnvLightMips, EnvLightParams
+    from materialrefgs_tpu.models.scene import Scene
+    from materialrefgs_tpu.render.renderers import RenderOptions
+    from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
+
+    preset = {
+        "refnerf": cfg.preset_refnerf,
+        "refreal": cfg.preset_refreal,
+        "glossy": cfg.preset_glossy,
+    }[args.preset]
+    model_params, pipe, opt = preset()
+    model_params = dataclasses.replace(
+        model_params, source_path=args.source_path, model_path=args.model_path
+    )
+    scene = Scene.load(model_params)
+
+    pc_dir = os.path.join(args.model_path, "point_cloud")
+    it = args.iteration
+    if it < 0:
+        iters = [int(d.split("_")[-1]) for d in os.listdir(pc_dir) if d.startswith("iteration_")]
+        it = max(iters)
+    ply = os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply")
+    print(f"Loading {ply}")
+    model, env1, env2 = gaussian_io.load_ply(ply, max_sh_degree=model_params.sh_degree)
+    env1 = env1 or EnvLightParams.create(model_params.envmap_max_res)
+    mips = EnvLightMips.build(env1)
+
+    env_ply = os.path.join(pc_dir, f"iteration_{it}", "env_point_cloud.ply")
+    env_model = None
+    if os.path.exists(env_ply):
+        env_model, _, _ = gaussian_io.load_ply(env_ply, max_sh_degree=model_params.sh_degree)
+
+    opts = RenderOptions(srgb=opt.srgb, raster=RasterizeConfig())
+    out_dir = os.path.join(args.model_path, f"eval_{it}")
+    if not args.skip_test and scene.test_cameras:
+        images = [scene.test_image(i) for i in range(len(scene.test_cameras))]
+        m = render_set(out_dir, "test", scene.test_cameras, images, model, mips, env_model, opts)
+        write_metrics(out_dir, m)
+        print("test:", {k: v for k, v in m.items() if k != "per_view_psnr"})
+    if not args.skip_train:
+        images = [scene.train_image(i) for i in range(len(scene.train_cameras))]
+        m = render_set(out_dir, "train", scene.train_cameras, images, model, mips, env_model, opts)
+        print("train:", {k: v for k, v in m.items() if k != "per_view_psnr"})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Training CLI (reference train_refnerf.py / train_refreal.py / train_glossy.py).
+
+Usage:
+  python scripts/train.py -s <scene_dir> -m <out_dir> --preset refnerf
+  python scripts/train.py -s <scene_dir> -m <out_dir> --preset refreal
+  python scripts/train.py -s <scene_dir> -m <out_dir> --preset glossy
+
+The three reference trainers are config presets here (SURVEY §7: "full
+three-trainer parity as config presets, not code forks").
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-s", "--source_path", required=True)
+    ap.add_argument("-m", "--model_path", required=True)
+    ap.add_argument("--preset", default="refnerf", choices=["refnerf", "refreal", "glossy"])
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--capacity", type=int, default=1 << 19)
+    ap.add_argument("--pair_capacity", type=int, default=1 << 20)
+    ap.add_argument("--save_iterations", type=int, nargs="+", default=None)
+    ap.add_argument("--test_iterations", type=int, nargs="+", default=None)
+    ap.add_argument("--metric3d_path", default=None)
+    ap.add_argument("--seed", type=int, default=3407)
+    ap.add_argument("--log_every", type=int, default=100)
+    args = ap.parse_args()
+
+    from materialrefgs_tpu import config as cfg
+    from materialrefgs_tpu.models import gaussian_io, gaussian_model as gm
+    from materialrefgs_tpu.models.scene import Scene
+    from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
+    from materialrefgs_tpu.ops.tracer.api import TracerConfig
+    from materialrefgs_tpu.train.trainer import Trainer
+
+    preset = {
+        "refnerf": cfg.preset_refnerf,
+        "refreal": cfg.preset_refreal,
+        "glossy": cfg.preset_glossy,
+    }[args.preset]
+    model_params, pipe, opt = preset()
+    model_params = dataclasses.replace(
+        model_params, source_path=args.source_path, model_path=args.model_path
+    )
+    if args.iterations:
+        opt = dataclasses.replace(opt, iterations=args.iterations)
+
+    print(f"Loading scene from {args.source_path} ...")
+    scene = Scene.load(model_params)
+    n_train = len(scene.train_cameras)
+    print(f"{n_train} train cameras, extent {scene.cameras_extent:.2f}")
+
+    images = [scene.train_image(i) for i in range(n_train)]
+    masks = None
+    priors = None
+    if args.metric3d_path and os.path.isdir(args.metric3d_path):
+        from PIL import Image
+
+        priors = []
+        for ci in scene.info.train_cameras:
+            p = os.path.join(args.metric3d_path, ci.image_name + ".png")
+            if os.path.exists(p):
+                arr = np.asarray(Image.open(p), np.float32) / 255.0 * 2 - 1
+                priors.append(arr[..., :3])
+            else:
+                priors = None
+                break
+
+    pcd = scene.info.point_cloud
+    model = gm.create_from_points(
+        pcd.points, pcd.colors, capacity=args.capacity,
+        max_sh_degree=model_params.sh_degree,
+        rng=np.random.default_rng(args.seed),
+    )
+    print(f"Initialized {len(pcd.points)} gaussians (capacity {args.capacity})")
+
+    bg = (1.0, 1.0, 1.0) if model_params.white_background else (0.0, 0.0, 0.0)
+    trainer = Trainer(
+        model,
+        scene.train_cameras,
+        images,
+        opt,
+        pipe,
+        cameras_extent=scene.cameras_extent,
+        bg_color=bg,
+        raster_cfg=RasterizeConfig(pair_capacity=args.pair_capacity),
+        seed=args.seed,
+        masks=masks,
+        normal_priors=priors,
+        nearest_ids=scene.nearest_ids,
+        with_warp=(opt.multi_view_ncc_weight > 0),
+        tracer_cfg=TracerConfig(pair_capacity=args.pair_capacity),
+    )
+
+    os.makedirs(args.model_path, exist_ok=True)
+    save_iters = args.save_iterations or [opt.iterations]
+    t0 = time.time()
+    done = 0
+    for target in sorted(set(save_iters + [opt.iterations])):
+        n = target - done
+        if n <= 0:
+            continue
+        trainer.train(n, start_iter=done + 1, log_every=args.log_every)
+        done = target
+        out = os.path.join(args.model_path, f"point_cloud/iteration_{target}/point_cloud.ply")
+        gaussian_io.save_ply(
+            trainer.state.model, out, env1=trainer.state.env1, env2=trainer.state.env2
+        )
+        if trainer.state.env_gs is not None:
+            gaussian_io.save_ply(
+                trainer.state.env_gs,
+                os.path.join(args.model_path, f"point_cloud/iteration_{target}/env_point_cloud.ply"),
+            )
+        with open(os.path.join(args.model_path, "train_log.json"), "w") as f:
+            json.dump(trainer.metrics_log, f)
+        last = trainer.metrics_log[-1] if trainer.metrics_log else {}
+        print(
+            f"[{target}] saved; psnr={last.get('psnr', float('nan')):.2f} "
+            f"n_alive={last.get('n_alive', 0)} wall={time.time()-t0:.0f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,5 @@
 """render_surfel2 (EnvGS composite) integration test."""
+import pytest as _pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,8 @@ from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
 from materialrefgs_tpu.ops.tracer.api import TracerConfig
 from materialrefgs_tpu.render.envgs import render_surfel2
 from materialrefgs_tpu.render.renderers import RenderOptions
+
+pytestmark = _pytest.mark.slow
 
 OPTS = RenderOptions(raster=RasterizeConfig(pair_capacity=1 << 12, interpret=True))
 TCFG = TracerConfig(

@@ -54,7 +54,15 @@ def loss_of(out, which):
     return total
 
 
-@pytest.mark.parametrize("which", ["render", "distortion", "median_depth", "all"])
+@pytest.mark.parametrize(
+    "which",
+    [
+        "render",
+        pytest.param("distortion", marks=pytest.mark.slow),
+        pytest.param("median_depth", marks=pytest.mark.slow),
+        "all",
+    ],
+)
 def test_grad_parity(which):
     rng = np.random.default_rng(7)
     cam = make_cam()

@@ -74,3 +74,53 @@ def test_training_improves_psnr(rng):
     assert last_psnr > first_psnr + 0.5, (first_psnr, last_psnr)
     # densification ran and state is sane
     assert log[-1]["n_alive"] >= 64
+
+
+@pytest.mark.slow
+def test_full_curriculum_stages(rng):
+    """All four stages + warp + mono-normal + env-gs init compile and run."""
+    cams, images, gt_means = synthetic_scene(rng, n_cams=3, W=32, H=32, P=32)
+    pts = gt_means + rng.normal(size=gt_means.shape).astype(np.float32) * 0.1
+    cols = rng.uniform(size=(len(pts), 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=128)
+
+    opt = dataclasses.replace(
+        OptimizationParams(),
+        initial=1,
+        init_until_iter=2,
+        volume_render_until_iter=4,
+        indirect_from_iter=6,
+        multi_view_weight_from_iter=4,
+        densify_from_iter=100_000,
+        feature_rest_from_iter=100_000,
+        lambda_normal_render_depth=0.05,
+        normal_loss_start=0,
+    )
+    from materialrefgs_tpu.ops.tracer.api import TracerConfig
+
+    masks = [np.ones((32, 32), np.float32) for _ in cams]
+    priors = [
+        np.tile(np.array([0.0, 0.0, -1.0], np.float32), (32, 32, 1)) for _ in cams
+    ]
+    nearest = [[(i + 1) % len(cams)] for i in range(len(cams))]
+    trainer = Trainer(
+        model,
+        cams,
+        images,
+        opt,
+        PipelineParams(),
+        cameras_extent=3.0,
+        raster_cfg=RasterizeConfig(pair_capacity=1 << 12, interpret=True),
+        envmap_res=16,
+        masks=masks,
+        normal_priors=priors,
+        nearest_ids=nearest,
+        with_warp=True,
+        tracer_cfg=TracerConfig(
+            pair_capacity=1 << 12, cluster_pair_capacity=1 << 9, interpret=True
+        ),
+    )
+    trainer.train(8, log_every=1)
+    assert trainer.state.env_gs is not None  # surfel2 stage initialized EnvGS
+    for m in trainer.metrics_log:
+        assert np.isfinite(m["loss"]), m

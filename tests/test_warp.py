@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from materialrefgs_tpu.cameras import look_at_camera
+from materialrefgs_tpu.config import OptimizationParams
+from materialrefgs_tpu.train import warp
+
+
+def plane_depth(camera, z0=2.0):
+    """Depth map of the world plane z == z0 seen from `camera`."""
+    rays = camera.get_rays()  # camera-space dirs, z=1
+    R = camera.world_view[:3, :3]
+    d_world = jnp.einsum("hwc,cd->hwd", rays, R.T)
+    o = camera.camera_center
+    t = (z0 - o[2]) / d_world[..., 2]
+    return t  # depth along the z=1-normalized camera ray == view z
+
+
+def make_two_cams(W=48, H=48):
+    c1 = look_at_camera(
+        np.array([0.0, 0.0, -3.0]), np.zeros(3), np.array([0.0, 1.0, 0.0]),
+        0.8, 0.8, W, H,
+    )
+    c2 = look_at_camera(
+        np.array([0.6, 0.1, -2.9]), np.zeros(3), np.array([0.0, 1.0, 0.0]),
+        0.8, 0.8, W, H,
+    )
+    return c1, c2
+
+
+def test_grid_sample_identity():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(8, 10, 3)), jnp.float32)
+    ys, xs = jnp.meshgrid(jnp.arange(8.0), jnp.arange(10.0), indexing="ij")
+    coords = jnp.stack(
+        [2 * xs / 9 - 1, 2 * ys / 7 - 1], axis=-1
+    ).reshape(-1, 2)
+    out = warp.grid_sample(img, coords).reshape(8, 10, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_points_from_depth_reprojection_consistency():
+    """Consistent plane depths in two views -> zero reprojection noise."""
+    c1, c2 = make_two_cams()
+    d1 = plane_depth(c1)
+    d2 = plane_depth(c2)
+
+    pts = warp.points_from_depth(c1, d1)
+    # All points must lie on z = 2 world plane.
+    np.testing.assert_allclose(np.asarray(pts[:, 2]), 2.0, atol=1e-4)
+
+    pts_near = pts @ c2.world_view[:3, :3] + c2.world_view[3, :3]
+    map_z, mask = warp.points_depth_in_depth_map(c2, d2, pts_near)
+    # Where in-bounds, the sampled depth equals the point's view-z.
+    err = np.abs(np.asarray(map_z - pts_near[:, 2]))[np.asarray(mask)]
+    assert err.max() < 5e-2
+
+
+def test_calc_warp_loss_consistent_geometry():
+    c1, c2 = make_two_cams()
+    H, W = c1.height, c1.width
+    d1, d2 = plane_depth(c1), plane_depth(c2)
+    n_world = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (H, W, 3))
+
+    def pkg(cam, depth):
+        rays = cam.get_rays()
+        nv = n_world.reshape(-1, 3) @ cam.world_view[:3, :3]
+        dist = jnp.abs(
+            jnp.sum(nv.reshape(H, W, 3) * (rays * depth[..., None]), axis=-1)
+        )
+        flat = jnp.zeros((H, W, 3))
+        return {
+            "surf_depth": depth,
+            "rend_normal": n_world,
+            "rend_distance": dist[..., None],
+            "diffuse_map": flat + 0.5,
+            "refl_strength_map": jnp.zeros((H, W, 1)),
+            "roughness_map": jnp.zeros((H, W, 1)),
+        }
+
+    opt = OptimizationParams(multi_view_sample_num=512)
+    gray = jnp.full((H, W), 0.5)
+    mask = jnp.ones((H, W))
+    out = warp.calc_warp_loss(
+        c1, c2, pkg(c1, d1), pkg(c2, d2), gray, gray, mask, opt,
+        jnp.float32(20000), jax.random.PRNGKey(0), use_ncc=True,
+    )
+    # Perfectly consistent geometry and constant colors: tiny losses.
+    assert float(out.geo_loss) < 1e-3
+    assert float(out.base_color_loss) < 1e-6
+    assert float(out.metallic_warp_loss) < 1e-5
+    assert np.isfinite(float(out.ncc_loss))
+    # Weights nonzero somewhere (overlapping region).
+    assert float(out.weights_map.max()) > 0.5
+
+
+def test_mono_normal_loss_perfect_prior():
+    c1, _ = make_two_cams()
+    H, W = c1.height, c1.width
+    n_world = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (H, W, 3))
+    prior_cam = n_world.reshape(-1, 3) @ c1.world_view[:3, :3]
+    prior_cam = prior_cam.reshape(H, W, 3)
+    l1s, coss, l1r, cosr = warp.mono_normal_loss(
+        c1, n_world, n_world, prior_cam, jnp.ones((H, W))
+    )
+    assert float(l1s) < 1e-5 and float(coss) < 1e-6
+    assert float(l1r) < 1e-5 and float(cosr) < 1e-6
