@@ -77,18 +77,21 @@ def test_sh_degree0_constant(rng):
 @pytest.mark.parametrize("deg", [1, 2, 3, 4])
 def test_sh_orthonormality(deg, rng):
     # Monte-Carlo check: E[basis_i * basis_j] over the sphere = delta_ij / (4pi)
+    # One jitted vectorized evaluation: a python loop of eager jnp calls can
+    # abort the multi-device XLA CPU client under pytest.
+    import jax
+
     n = 50000
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     K = (deg + 1) ** 2
-    basis = []
-    for k in range(K):
-        c = np.zeros((1, K), np.float32)
-        c[0, k] = 1.0
-        basis.append(
-            np.asarray(sh_utils.eval_sh(deg, jnp.asarray(np.tile(c, (n, 1))), jnp.asarray(d, jnp.float32)))
-        )
-    B = np.stack(basis, axis=-1)  # (n, K)
+
+    @jax.jit
+    def all_basis(dirs):
+        eye = jnp.eye(K)  # (K basis "channels", K coeffs)
+        return sh_utils.eval_sh(deg, eye[None, :, :], dirs[:, None, :])[:, 0, :]
+
+    B = np.asarray(all_basis(jnp.asarray(d, jnp.float32)))  # (n, K)
     gram = B.T @ B / n * 4 * np.pi
     np.testing.assert_allclose(gram, np.eye(K), atol=0.25)
 
