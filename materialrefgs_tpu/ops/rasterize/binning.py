@@ -36,6 +36,20 @@ class BinningOut(NamedTuple):
     overflow: jax.Array  # () int32 pairs dropped due to capacity
 
 
+def _broadcast_to_segments(values, seg_starts, B):
+    """values (S,) int32 broadcast along segments with given start offsets
+    (sorted, may repeat for empty segments) -> (B,) int32.
+
+    Delta-scatter + cumsum: out[k] = values[seg_of(k)]. Exact for int32.
+    Random gathers v[seg_of_pair] over millions of pairs are ~25ms each on
+    TPU; one scan over B is ~5ms and replaces them all.
+    """
+    deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
+    idx = jnp.where(seg_starts < B, seg_starts, B)
+    marks = jnp.zeros(B, values.dtype).at[idx].add(deltas, mode="drop")
+    return jnp.cumsum(marks)
+
+
 def bin_pairs(
     pre: PreprocessOut, grid_x: int, grid_y: int, pair_capacity: int
 ) -> BinningOut:
@@ -43,37 +57,44 @@ def bin_pairs(
     num_tiles = grid_x * grid_y
     K = K_CHUNK
     assert pair_capacity % K == 0
-    counts_g = pre.tiles_touched  # (P,)
+    counts_g = pre.tiles_touched.astype(jnp.int32)  # (P,)
     cum = jnp.cumsum(counts_g)
     total = cum[-1]
-    offsets = cum - counts_g
+    offsets = (cum - counts_g).astype(jnp.int32)
 
     B = pair_capacity
     k = jnp.arange(B, dtype=jnp.int32)
-    # Pair k -> owning gaussian. Equivalent to searchsorted(cum, k, 'right')
-    # but via scatter-add + cumsum: per-element binary search is ~50x slower
-    # on TPU (random gathers) than one scan over B.
-    marks = jnp.zeros(B, jnp.int32).at[
-        jnp.where(offsets < B, offsets, B)
-    ].add(1, mode="drop")
-    g = jnp.cumsum(marks) - 1
+    # Pair k -> owning gaussian and its per-gaussian attributes, all via
+    # delta-scatter + cumsum over the (gaussian-major, hence sorted) pair
+    # list — no per-pair random gathers.
+    P = counts_g.shape[0]
+    gauss_ids = jnp.arange(P, dtype=jnp.int32)
+    g = _broadcast_to_segments(gauss_ids, offsets, B)
+    off_p = _broadcast_to_segments(offsets, offsets, B)
+    rmx_p = _broadcast_to_segments(pre.rect_min[:, 0].astype(jnp.int32), offsets, B)
+    rmy_p = _broadcast_to_segments(pre.rect_min[:, 1].astype(jnp.int32), offsets, B)
+    rw_p = _broadcast_to_segments(
+        jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1).astype(jnp.int32),
+        offsets,
+        B,
+    )
     raw_valid = k < jnp.minimum(total, B)
-    g_safe = jnp.clip(g, 0, counts_g.shape[0] - 1)
 
-    local = k - offsets[g_safe]
-    rect_min = pre.rect_min[g_safe]
-    rect_w = jnp.maximum(pre.rect_max[g_safe, 0] - rect_min[:, 0], 1)
-    ty = rect_min[:, 1] + local // rect_w
-    tx = rect_min[:, 0] + local % rect_w
+    local = k - off_p
+    ty = rmy_p + local // rw_p
+    tx = rmx_p + local % rw_p
     tile = ty * grid_x + tx
-    tile = jnp.where(raw_valid, tile, num_tiles)
+    tile = jnp.where(raw_valid, tile, num_tiles).astype(jnp.int32)
 
-    # Stable sort by tile keeps depth order within each tile.
-    order = jnp.argsort(tile, stable=True)
-    tile_sorted = tile[order]
-    g_sorted = jnp.where(raw_valid, g_safe, 0)[order]
+    # Stable sort by tile keeps depth order within each tile; carry the
+    # gaussian id through the sort (cheaper than post-gathers).
+    g_masked = jnp.where(raw_valid, g, 0).astype(jnp.int32)
+    tile_sorted, g_sorted = jax.lax.sort(
+        (tile, g_masked), is_stable=True, num_keys=1
+    )
 
-    # Per-tile raw ranges, then K-aligned padded layout.
+    # Per-tile raw ranges (num_tiles is small — searchsorted is fine here),
+    # then K-aligned padded layout.
     raw_start = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -84,16 +105,15 @@ def bin_pairs(
     )  # (T+1,), multiples of K
 
     tile_start = jnp.minimum(padded_start, B)
-    tile_count = jnp.minimum(counts, tile_start[1:] - tile_start[:-1])
+    tile_count = jnp.minimum(counts, tile_start[1:] - tile_start[:-1]).astype(jnp.int32)
 
-    # Scatter sorted pairs into the padded layout.
-    i = jnp.arange(B, dtype=jnp.int32)
-    rank = i - raw_start[jnp.minimum(tile_sorted, num_tiles - 1)]
-    pos = tile_start[jnp.minimum(tile_sorted, num_tiles - 1)] + rank
-    keep = (
-        (tile_sorted < num_tiles)
-        & (rank < tile_count[jnp.minimum(tile_sorted, num_tiles - 1)])
-    )
+    # Destination slot per sorted pair (segment broadcasts again).
+    raw_start_p = _broadcast_to_segments(raw_start[:-1], raw_start[:-1], B)
+    tile_start_p = _broadcast_to_segments(tile_start[:-1], raw_start[:-1], B)
+    tile_count_p = _broadcast_to_segments(tile_count, raw_start[:-1], B)
+    rank = k - raw_start_p
+    pos = tile_start_p + rank
+    keep = (tile_sorted < num_tiles) & (rank < tile_count_p)
     pos = jnp.where(keep, pos, B)  # dropped slots scatter out of bounds
 
     pair_gauss = jnp.zeros(B, jnp.int32).at[pos].set(g_sorted, mode="drop")
@@ -104,7 +124,7 @@ def bin_pairs(
         pair_gauss=pair_gauss,
         pair_valid=pair_valid,
         tile_start=tile_start,
-        tile_count=tile_count.astype(jnp.int32),
+        tile_count=tile_count,
         num_pairs=num_kept,
         overflow=total - num_kept,
     )
