@@ -182,7 +182,13 @@ def read_colmap_scene(
     txt_path = os.path.join(sparse, "points3D.txt")
     if not os.path.exists(ply_path):
         if os.path.exists(bin_path):
-            xyz, rgb, _ = cl.read_points3D_binary(bin_path)
+            from materialrefgs_tpu.data import native_io
+
+            fast = native_io.read_points3d(bin_path)
+            if fast is not None:
+                xyz, rgb, _ = fast
+            else:
+                xyz, rgb, _ = cl.read_points3D_binary(bin_path)
         else:
             xyz, rgb, _ = cl.read_points3D_text(txt_path)
         try:

@@ -80,7 +80,11 @@ def save_ply(model: GaussianModel, path: str, env1: EnvLightParams | None = None
 
 def load_ply(path: str, capacity: int | None = None, max_sh_degree: int = 3):
     """Returns (GaussianModel, env1 | None, env2 | None)."""
-    v = read_ply(path)
+    from materialrefgs_tpu.data import native_io
+
+    v = native_io.read_ply_f32(path)  # native fast path (C++)
+    if v is None:
+        v = read_ply(path)
     P = len(v["x"])
     cap = capacity or int(2 ** np.ceil(np.log2(max(P, 1))))
     assert P <= cap
