@@ -191,16 +191,16 @@ def ggx_prefilter(
     t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
     b = jnp.cross(n, t)
 
-    def one_sample(carry, lw):
-        acc, wacc = carry
-        l, w = lw
-        world = l[0] * t + l[1] * b + l[2] * n  # (6,R,R,3)
-        acc = acc + sample_cubemap(cubemap, world) * w
-        return (acc, wacc + w), None
-
-    acc0 = jnp.zeros_like(cubemap)
-    (acc, wsum), _ = jax.lax.scan(one_sample, (acc0, 0.0), (l_tan, nol))
-    return acc / wsum
+    # One batched gather over all (texel, sample) pairs — a lax.scan over
+    # samples serializes M small gathers and dominates the train step.
+    world = (
+        l_tan[:, None, None, None, 0:1] * t[None]
+        + l_tan[:, None, None, None, 1:2] * b[None]
+        + l_tan[:, None, None, None, 2:3] * n[None]
+    )  # (M, 6, R, R, 3)
+    samples = sample_cubemap(cubemap, world)  # (M, 6, R, R, C)
+    acc = jnp.tensordot(nol, samples, axes=(0, 0))  # (6, R, R, C)
+    return acc / jnp.sum(nol)
 
 
 def build_mip_chain(

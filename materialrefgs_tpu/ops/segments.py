@@ -33,13 +33,14 @@ def build_aligned_segments(
     assert capacity % K_CHUNK == 0
     N = seg_id.shape[0]
     S = num_segments
-    sid = jnp.where(valid, seg_id, S)
+    sid = jnp.where(valid, seg_id, S).astype(jnp.int32)
 
-    # Sort by key (stable), then stable by segment: per-segment key order.
-    order1 = jnp.argsort(sort_key, stable=True)
-    order2 = jnp.argsort(sid[order1], stable=True)
-    order = order1[order2]  # input index per sorted rank
-    sid_sorted = sid[order]
+    # Lexicographic (segment, key) sort carrying the original index — one
+    # fused lax.sort instead of two argsorts + gathers.
+    idx = jnp.arange(N, dtype=jnp.int32)
+    sid_sorted, _, order = jax.lax.sort(
+        (sid, sort_key.astype(jnp.float32), idx), is_stable=True, num_keys=2
+    )
 
     raw_start = jnp.searchsorted(
         sid_sorted, jnp.arange(S + 1, dtype=jnp.int32), side="left"
@@ -52,11 +53,18 @@ def build_aligned_segments(
     seg_start = jnp.minimum(padded_start, capacity)
     seg_count = jnp.minimum(counts, seg_start[1:] - seg_start[:-1]).astype(jnp.int32)
 
+    # Per-sorted-pair segment attributes via delta-scatter + cumsum (sorted
+    # segment ids — avoids per-pair random gathers, see rasterize/binning.py).
+    def broadcast(values):
+        deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
+        i = jnp.where(raw_start[:-1] < N, raw_start[:-1], N)
+        marks = jnp.zeros(N, values.dtype).at[i].add(deltas, mode="drop")
+        return jnp.cumsum(marks)
+
     rank = jnp.arange(N, dtype=jnp.int32)
-    sclip = jnp.minimum(sid_sorted, S - 1)
-    local = rank - raw_start[sclip]
-    pos_sorted = seg_start[sclip] + local
-    keep = (sid_sorted < S) & (local < seg_count[sclip])
+    local = rank - broadcast(raw_start[:-1])
+    pos_sorted = broadcast(seg_start[:-1]) + local
+    keep = (sid_sorted < S) & (local < broadcast(seg_count))
     pos_sorted = jnp.where(keep, pos_sorted, capacity)
 
     # perm_pos maps input pair index -> destination slot.
