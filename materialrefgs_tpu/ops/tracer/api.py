@@ -81,9 +81,10 @@ def _cluster_gaussians(means3d, scales, alive_mask):
 def _bundle_stats(rays_o, rays_d):
     """(NB,256,3)x2 -> per-bundle centroid, mean dir, origin radius, tan(theta)."""
     o_c = jnp.mean(rays_o, axis=1)  # (NB,3)
-    d_n = rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12)
-    d_c = jnp.mean(d_n, axis=1)
-    d_c = d_c / jnp.maximum(jnp.linalg.norm(d_c, axis=-1, keepdims=True), 1e-12)
+    from materialrefgs_tpu.utils.transforms import normalize as _safe_norm
+
+    d_n = _safe_norm(rays_d)
+    d_c = _safe_norm(jnp.mean(d_n, axis=1))
     r0 = jnp.max(jnp.linalg.norm(rays_o - o_c[:, None], axis=-1), axis=1)
     cosm = jnp.min(jnp.sum(d_n * d_c[:, None], axis=-1), axis=1)
     cosm = jnp.clip(cosm, 1e-3, 1.0)

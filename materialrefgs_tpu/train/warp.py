@@ -304,12 +304,10 @@ def mono_normal_loss(
     R = camera.world_view[:3, :3]
 
     def one(normal):
-        n_cam = normal.reshape(-1, 3) @ R
-        n_cam = n_cam / jnp.maximum(
-            jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-12
-        )
-        gt = normal_prior.reshape(-1, 3)
-        gt = gt / jnp.maximum(jnp.linalg.norm(gt, axis=-1, keepdims=True), 1e-12)
+        from materialrefgs_tpu.utils.transforms import normalize as _safe_norm
+
+        n_cam = _safe_norm(normal.reshape(-1, 3) @ R)
+        gt = _safe_norm(normal_prior.reshape(-1, 3))
         if mask is None:
             l1 = jnp.mean(jnp.sum(jnp.abs(n_cam - gt), axis=-1))
             cos = jnp.mean(1.0 - jnp.sum(n_cam * gt, axis=-1))

@@ -39,6 +39,9 @@ def depth_to_normal(camera: Camera, depthmap: jax.Array) -> jax.Array:
     dx = points[2:, 1:-1] - points[:-2, 1:-1]
     dy = points[1:-1, 2:] - points[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # Grad-safe normalize: see utils.transforms.normalize (zero cross
+    # products at flat/background pixels otherwise NaN the backward).
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    n = n * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     out = jnp.zeros_like(points)
     return out.at[1:-1, 1:-1].set(n)

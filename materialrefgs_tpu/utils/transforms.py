@@ -18,9 +18,15 @@ import jax.numpy as jnp
 
 
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """L2-normalize along `axis` (safe at zero, like torch F.normalize)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    """L2-normalize along `axis`, safe at zero INCLUDING gradients.
+
+    Never use jnp.linalg.norm here: d(sqrt)/dx at 0 is inf, and inf * 0
+    cotangents produce NaN grads for exactly-zero vectors (e.g. background
+    pixels in depth_to_normal). rsqrt of the clamped square-sum keeps the
+    backward finite (the clamp's zero-branch gradient kills the inf).
+    """
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, eps * eps))
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:

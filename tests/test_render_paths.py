@@ -99,3 +99,20 @@ def test_render_surfel_asg(setup):
     opts = dataclasses.replace(OPTS, use_asg=True)
     out = render_surfel(model, cam, jnp.zeros(3), mips, opts)
     assert np.all(np.isfinite(np.asarray(out["render"])))
+
+
+def test_surf_normal_grads_finite_with_background(setup):
+    """Regression: zero cross-products at background pixels must not NaN the
+    backward of depth_to_normal (grad of sqrt at 0 = inf; inf * 0 = NaN)."""
+    model, cam, mips = setup
+
+    def loss(params):
+        m = model.replace(params=params)
+        out = render_surfel(m, cam, jnp.zeros(3), mips, OPTS)
+        # surf_normal is zero on all background pixels of this sparse scene.
+        return jnp.mean(jnp.abs(out["surf_normal"] - out["rend_normal"]))
+
+    g = jax.grad(loss)(model.params)
+    for name in ["xyz", "scaling", "rotation", "opacity"]:
+        arr = np.asarray(getattr(g, name))
+        assert np.all(np.isfinite(arr)), f"NaN grads via surf_normal: {name}"
