@@ -244,3 +244,80 @@ def extract_mesh(
     if post_process:
         verts, faces = keep_largest_component(verts, faces)
     return verts, faces
+
+
+def _contract(x: np.ndarray) -> np.ndarray:
+    """Mip-NeRF-360 scene contraction (mesh_utils.py:309 unbounded variant):
+    identity inside the unit ball, 2 - 1/||x|| radially outside."""
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    n = np.maximum(n, 1e-9)
+    return np.where(n <= 1.0, x, (2.0 - 1.0 / n) * x / n)
+
+
+def _uncontract(y: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(y, axis=-1, keepdims=True)
+    n = np.maximum(n, 1e-9)
+    return np.where(n <= 1.0, y, y / (n * (2.0 - n)))
+
+
+def extract_mesh_unbounded(
+    cameras: list[Camera],
+    depths: list[np.ndarray],
+    alphas: list[np.ndarray],
+    resolution: int = 128,
+    post_process: bool = True,
+):
+    """Unbounded scene variant (extract_mesh_unbounded, mesh_utils.py:309):
+    TSDF over the CONTRACTED space [-2, 2]^3, marching tetrahedra, vertices
+    mapped back through the inverse contraction. Scene scale is normalized by
+    the camera-ring radius first."""
+    centers = np.stack([np.asarray(c.camera_center) for c in cameras])
+    center = centers.mean(axis=0)
+    scale = float(np.max(np.linalg.norm(centers - center, axis=-1))) + 1e-6
+
+    R = resolution
+    half = 2.0
+    voxel = 2 * half / R
+    origin = -np.full(3, half, np.float32)
+    ax = origin[0] + (np.arange(R) + 0.5) * voxel
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    ypts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+    # world sample positions: uncontract then denormalize.
+    wpts = _uncontract(ypts) * scale + center
+    homog = np.concatenate([wpts, np.ones((len(wpts), 1), np.float32)], axis=1)
+
+    tsdf = np.zeros(len(wpts), np.float32)
+    weight = np.zeros(len(wpts), np.float32)
+    sdf_trunc = 5.0 * voxel * scale
+
+    for cam, depth, alpha in zip(cameras, depths, alphas):
+        wv = np.asarray(cam.world_view)
+        p_view = homog @ wv
+        z = p_view[:, 2]
+        valid = z > 0.05
+        u = p_view[:, 0] * float(cam.fx) / np.maximum(z, 1e-8) + float(cam.cx)
+        v = p_view[:, 1] * float(cam.fy) / np.maximum(z, 1e-8) + float(cam.cy)
+        H, W = depth.shape
+        ui = np.clip(np.round(u).astype(np.int64), 0, W - 1)
+        vi = np.clip(np.round(v).astype(np.int64), 0, H - 1)
+        valid &= (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        d = depth[vi, ui]
+        a = alpha[vi, ui]
+        valid &= (a > 0.5) & (d > 0)
+        sdf = np.clip((d - z) / sdf_trunc, -1.0, 1.0)
+        valid &= sdf > -1.0
+        w_new = np.where(valid, 1.0, 0.0).astype(np.float32)
+        tsdf = (tsdf * weight + np.where(valid, sdf, 0.0) * w_new) / np.maximum(
+            weight + w_new, 1e-8
+        )
+        weight += w_new
+
+    shape = (R, R, R)
+    verts, faces = marching_tetrahedra(
+        tsdf.reshape(shape), weight.reshape(shape), origin, voxel
+    )
+    if len(verts):
+        verts = _uncontract(verts) * scale + center
+    if post_process:
+        verts, faces = keep_largest_component(verts, faces)
+    return verts, faces

@@ -388,6 +388,10 @@ class Trainer:
         normal_priors: list[np.ndarray] | None = None,  # (H, W, 3) Metric3D
         ref_score_masks: list[np.ndarray] | None = None,  # (H, W) bool masks
         nearest_ids: list[list[int]] | None = None,  # Scene.nearest_ids
+        vis_dir: str | None = None,  # save_training_vis output dir
+        vis_every: int = 1000,
+        mesh_dir: str | None = None,  # periodic TSDF mesh artifacts
+        mesh_every: int = 2000,
         with_warp: bool = False,
         tracer_cfg=None,
     ):
@@ -436,8 +440,23 @@ class Trainer:
                 max_screen_size=20.0,
             )
         )
+        self._env_densify = jax.jit(
+            lambda model, opt_state, key: gm.densify_and_prune(
+                model,
+                opt_state,
+                key,
+                max_grad=1e-4,  # env_gaussian_model3.update_env_gs_:486
+                min_opacity=opt.prune_opacity_threshold,
+                extent=cameras_extent,
+                max_screen_size=None,
+            )
+        )
         self.spatial_lr_scale = cameras_extent
         self.metrics_log: list[dict] = []
+        self.vis_dir = vis_dir
+        self.vis_every = vis_every
+        self.mesh_dir = mesh_dir
+        self.mesh_every = mesh_every
 
     def _step_fn(self, stage: str, warp_on: bool):
         key = (stage, warp_on)
@@ -524,6 +543,15 @@ class Trainer:
 
             self._densify_and_reset(iteration, stage)
 
+            if self.vis_dir and iteration % self.vis_every == 0:
+                self._save_vis(iteration, cam_id, stage)
+            if (
+                self.mesh_dir
+                and iteration >= self.opt.indirect_from_iter
+                and iteration % self.mesh_every == 0
+            ):
+                self._extract_mesh(iteration)
+
             if iteration % log_every == 0 or iteration == start_iter:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iteration"] = iteration
@@ -567,6 +595,21 @@ class Trainer:
         in_prop = opt.init_until_iter < iteration <= opt.normal_prop_until_iter
         if opt.opac_lr0_interval > 0 and in_prop and iteration % opt.opac_lr0_interval == 0:
             st = st.replace(opacity_lr_scale=jnp.float32(1.0))
+        # Environment-gaussian densification (update_env_gs_,
+        # env_gaussian_model3.py:482-512: interval 500, grad thr 1e-4,
+        # opacity reset every 6000, frozen past 30000).
+        if (
+            st.env_gs is not None
+            and iteration < 30000
+            and iteration % 500 == 0
+        ):
+            self.key, sub = jax.random.split(self.key)
+            env_gs, env_opt = self._env_densify(st.env_gs, st.env_gs_opt_state, sub)
+            if iteration % 6000 == 0:
+                env_gs = gm.reset_opacity0(env_gs)
+                env_opt = gm.zero_adam_param(env_opt, "opacity")
+            st = st.replace(env_gs=env_gs, env_gs_opt_state=env_opt)
+
         if in_prop and iteration % opt.normal_prop_interval == 0 and not has_reset0:
             model = gm.reset_opacity1(st.model)
             if iteration > opt.volume_render_until_iter > opt.init_until_iter:
@@ -579,3 +622,54 @@ class Trainer:
             if opt.opac_lr0_interval > 0 and iteration != opt.normal_prop_until_iter:
                 st = st.replace(opacity_lr_scale=jnp.float32(0.0))
         self.state = st
+
+
+    def _render_view(self, cam_id: int, stage: str):
+        """Forward render for vis/mesh (no grads)."""
+        from materialrefgs_tpu.render.renderers import render_surfel
+
+        ropts = RenderOptions(
+            unbiased_depth=self.pipe.unbiased_depth, raster=self.raster_cfg
+        )
+        mips = EnvLightMips.build(self.state.env1, n_samples=8)
+        return jax.jit(render_surfel, static_argnames=("opts",))(
+            self.state.model, self.cameras[cam_id], self.bg, mips, ropts
+        )
+
+    def _save_vis(self, iteration: int, cam_id: int, stage: str):
+        """save_training_vis (train_refnerf.py:1533): grid of current maps."""
+        import os
+
+        from materialrefgs_tpu.evaluate import depth_vis, save_png
+
+        if stage == "initial":
+            return
+        pkg = self._render_view(cam_id, stage)
+        os.makedirs(self.vis_dir, exist_ok=True)
+        gt = np.asarray(self.images[cam_id])
+        render = np.clip(np.asarray(pkg["render"]), 0, 1)
+        normal = np.asarray(pkg["rend_normal"]) * 0.5 + 0.5
+        depth = depth_vis(np.asarray(pkg["surf_depth"]))[..., None].repeat(3, -1)
+        albedo = np.clip(np.asarray(pkg["base_color_map"]), 0, 1)
+        rough = np.asarray(pkg["roughness_map"]).repeat(3, -1)
+        refl = np.asarray(pkg["refl_strength_map"]).repeat(3, -1)
+        top = np.concatenate([gt, render, normal], axis=1)
+        bot = np.concatenate([depth, albedo, np.clip(np.concatenate([rough[..., :1], refl[..., :1], rough[..., :1]*0], -1), 0, 1)], axis=1)
+        save_png(os.path.join(self.vis_dir, f"{iteration:06d}.png"), np.concatenate([top, bot], axis=0))
+
+    def _extract_mesh(self, iteration: int):
+        """Periodic TSDF mesh artifact (train_refnerf.py:1459-1472)."""
+        import os
+
+        from materialrefgs_tpu.train import mesh_extract as me
+
+        depths, alphas = [], []
+        for i in range(len(self.cameras)):
+            pkg = self._render_view(i, "surfel")
+            depths.append(np.asarray(pkg["surf_depth"]))
+            alphas.append(np.asarray(pkg["rend_alpha"])[..., 0])
+        verts, faces = me.extract_mesh(self.cameras, depths, alphas)
+        os.makedirs(self.mesh_dir, exist_ok=True)
+        me.write_mesh_ply(
+            os.path.join(self.mesh_dir, f"test_{iteration:06d}.ply"), verts, faces
+        )
