@@ -33,6 +33,17 @@ class EnvLightMips:
     max_roughness: float = struct.field(pytree_node=False, default=0.5)
 
     @staticmethod
+    def build_jit(params: EnvLightParams, **kw) -> "EnvLightMips":
+        """Jitted build — ALWAYS prefer this outside a surrounding jit: the
+        eager prefilter dispatches dozens of large one-off TPU programs
+        (~100s); jitted it fuses to milliseconds."""
+        import functools
+
+        return jax.jit(
+            functools.partial(EnvLightMips.build, **kw)
+        )(params)
+
+    @staticmethod
     def build(
         params: EnvLightParams,
         min_res: int = 16,

@@ -51,7 +51,7 @@ def main():
     print(f"Loading {ply}")
     model, env1, env2 = gaussian_io.load_ply(ply, max_sh_degree=model_params.sh_degree)
     env1 = env1 or EnvLightParams.create(model_params.envmap_max_res)
-    mips = EnvLightMips.build(env1)
+    mips = EnvLightMips.build_jit(env1)
 
     env_ply = os.path.join(pc_dir, f"iteration_{it}", "env_point_cloud.ply")
     env_model = None
