@@ -9,3 +9,21 @@ TPU-first (static shapes, Pallas tile kernels, shard_map scale-out).
 """
 
 __version__ = "0.1.0"
+
+
+# Persistent XLA compilation cache: compiles on this platform go through a
+# remote service with highly variable latency; caching them on disk makes
+# every process after the first start fast. Opt out with
+# MATERIALREFGS_NO_COMPCACHE=1.
+import os as _os
+
+if not _os.environ.get("MATERIALREFGS_NO_COMPCACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

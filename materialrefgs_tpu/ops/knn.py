@@ -26,8 +26,15 @@ def _morton3d(q: jax.Array) -> jax.Array:
     return expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
 def mean_knn_dist2(points: jax.Array, k: int = 3, window: int = 64) -> jax.Array:
-    """(P, 3) -> (P,) mean squared distance to the k nearest neighbors."""
+    """(P, 3) -> (P,) mean squared distance to the k nearest neighbors.
+
+    Jitted as one program: a dozen eager ops each pay a separate (remote,
+    variable-latency) compile on this platform."""
     P = points.shape[0]
     lo = jnp.min(points, axis=0)
     hi = jnp.max(points, axis=0)
