@@ -220,7 +220,11 @@ def render_surfel(
         refl_map,
         rough_map,
         visibility=visibility if opts.indirect else None,
-        indirect_light=indirect_map if opts.indirect else None,
+        indirect_light=(
+            (traced_indirect if traced_indirect is not None else indirect_map)
+            if opts.indirect
+            else None
+        ),
     )
     if visibility is not None and not opts.indirect:
         # surfel2 flavor: visibility masks direct light only.
@@ -303,3 +307,39 @@ def render_volume(
         "overflow": out["overflow"],
         **regs,
     }
+
+
+def mesh_indirect_maps(
+    mesh,  # ops.mesh_tracer.MeshData (built from the extracted TSDF mesh)
+    camera: Camera,
+    normal_map: jax.Array,  # (H, W, 3) world-space, alpha-divided
+    surf_depth: jax.Array,  # (H, W, 1) unbiased surface depth
+    envmap: EnvLightMips,
+    render_alpha: jax.Array | None = None,  # (H, W, 1) gate for empty pixels
+) -> dict:
+    """Per-pixel mesh-traced visibility + one-bounce indirect light.
+
+    TPU-native replacement for the reference's raytracing_residual shading
+    branch (utils/refl_utils.py:101-190): surface points come from the
+    rasterized unbiased depth (the rend_surf_points=False variant,
+    refl_utils.py:131), reflected rays are traced against the extracted mesh,
+    and occluded pixels receive the one-bounce split-sum color
+    (raytracing_brdf/raytracer.py:274-300 shade).
+
+    Returns {"visibility": (H, W, 1), "indirect": (H, W, 3)} — feed them to
+    render_surfel(visibility=..., traced_indirect=...) with opts.indirect.
+    """
+    from materialrefgs_tpu.ops import mesh_tracer as mt
+
+    rays_d, rays_o = shading.camera_rays_world(camera, unnormalized=True)
+    surf_points = rays_o[None, None, :] + surf_depth * rays_d
+    w_o = -normalize(rays_d)
+    out = mt.shade_one_bounce(mesh, envmap, surf_points, normal_map, w_o)
+    vis, indirect = out["visibility"], out["indirect"]
+    if render_alpha is not None:
+        # Empty pixels: fully visible, no indirect (refl_utils.py:118-125
+        # only traces where render_alpha > 0).
+        empty = render_alpha <= 0.0
+        vis = jnp.where(empty, 1.0, vis)
+        indirect = jnp.where(empty, 0.0, indirect)
+    return {"visibility": vis, "indirect": indirect}

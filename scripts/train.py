@@ -25,6 +25,8 @@ def main():
     ap.add_argument("-s", "--source_path", required=True)
     ap.add_argument("-m", "--model_path", required=True)
     ap.add_argument("--preset", default="refnerf", choices=["refnerf", "refreal", "glossy"])
+    ap.add_argument("-r", "--resolution", type=int, default=None,
+                    help="image downscale factor (reference -r)")
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--capacity", type=int, default=1 << 19)
     ap.add_argument("--pair_capacity", type=int, default=1 << 20)
@@ -33,6 +35,9 @@ def main():
     ap.add_argument("--metric3d_path", default=None)
     ap.add_argument("--seed", type=int, default=3407)
     ap.add_argument("--log_every", type=int, default=100)
+    ap.add_argument("--checkpoint_iterations", type=int, nargs="+", default=None)
+    ap.add_argument("--test_every", type=int, default=0,
+                    help="evaluate test-set PSNR every N iters (psnr.json)")
     args = ap.parse_args()
 
     from materialrefgs_tpu import config as cfg
@@ -53,6 +58,8 @@ def main():
     )
     if args.iterations:
         opt = dataclasses.replace(opt, iterations=args.iterations)
+    if args.resolution:
+        model_params = dataclasses.replace(model_params, resolution=args.resolution)
 
     print(f"Loading scene from {args.source_path} ...")
     scene = Scene.load(model_params)
@@ -76,6 +83,13 @@ def main():
                 break
 
     pcd = scene.info.point_cloud
+    if len(pcd.points) > args.capacity:
+        # Keep room for densification: subsample the seed cloud to half cap.
+        sel = np.random.default_rng(args.seed).choice(
+            len(pcd.points), args.capacity // 2, replace=False
+        )
+        pcd = pcd._replace(points=pcd.points[sel], colors=pcd.colors[sel])
+        print(f"Subsampled seed cloud {len(sel)}/{args.capacity} (capacity)")
     model = gm.create_from_points(
         pcd.points, pcd.colors, capacity=args.capacity,
         max_sh_degree=model_params.sh_degree,
@@ -102,15 +116,50 @@ def main():
     )
 
     os.makedirs(args.model_path, exist_ok=True)
+    from materialrefgs_tpu.utils.logging_utils import TrainLogger
+
+    logger = TrainLogger(args.model_path)
     save_iters = args.save_iterations or [opt.iterations]
+    ckpt_iters = set(args.checkpoint_iterations or [])
+    test_every = args.test_every
+    marks = set(save_iters) | ckpt_iters | {opt.iterations}
+    if test_every:
+        marks |= set(range(test_every, opt.iterations + 1, test_every))
+    # Marks beyond the run length are never reached (reference semantics);
+    # without this a stray --checkpoint_iterations would extend training.
+    marks = {m for m in marks if m <= opt.iterations}
     t0 = time.time()
     done = 0
-    for target in sorted(set(save_iters + [opt.iterations])):
+    for target in sorted(marks):
         n = target - done
         if n <= 0:
             continue
         trainer.train(n, start_iter=done + 1, log_every=args.log_every)
         done = target
+        if trainer.metrics_log:
+            logger.scalars(target, trainer.metrics_log[-1])
+        if test_every and target % test_every == 0 and scene.test_cameras:
+            from materialrefgs_tpu.evaluate import render_set
+
+            test_imgs = [scene.test_image(i) for i in range(len(scene.test_cameras))]
+            from materialrefgs_tpu.models.env_light import EnvLightMips
+            from materialrefgs_tpu.render.renderers import RenderOptions
+
+            mips = EnvLightMips.build_jit(trainer.state.env1)
+            m = render_set(
+                args.model_path, "test_eval", scene.test_cameras, test_imgs,
+                trainer.state.model, mips,
+                opts=RenderOptions(raster=RasterizeConfig(pair_capacity=args.pair_capacity)),
+                dump_maps=False,
+            )
+            logger.test_psnr(target, m["psnr"])
+            print(f"[{target}] test psnr {m['psnr']:.2f}")
+        if target in ckpt_iters:
+            from materialrefgs_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(trainer.state, target, args.model_path)
+        if target not in set(save_iters) and target != opt.iterations:
+            continue
         out = os.path.join(args.model_path, f"point_cloud/iteration_{target}/point_cloud.ply")
         gaussian_io.save_ply(
             trainer.state.model, out, env1=trainer.state.env1, env2=trainer.state.env2
