@@ -71,13 +71,20 @@ def bin_pairs(
     gauss_ids = jnp.arange(P, dtype=jnp.int32)
     g = _broadcast_to_segments(gauss_ids, offsets, B)
     off_p = _broadcast_to_segments(offsets, offsets, B)
-    rmx_p = _broadcast_to_segments(pre.rect_min[:, 0].astype(jnp.int32), offsets, B)
-    rmy_p = _broadcast_to_segments(pre.rect_min[:, 1].astype(jnp.int32), offsets, B)
-    rw_p = _broadcast_to_segments(
-        jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1).astype(jnp.int32),
-        offsets,
-        B,
-    )
+    # Pack (rect_min_x, rect_min_y, rect_w) into one word so the three
+    # per-gaussian rect fields ride a single segment broadcast (each
+    # broadcast is a full scatter+cumsum over B — the dominant binning
+    # cost). 10 bits per field supports grids up to 1023 tiles per side
+    # (16k px); deltas of packed non-negative fields stay exact in int32.
+    rmx = pre.rect_min[:, 0].astype(jnp.int32)
+    rmy = pre.rect_min[:, 1].astype(jnp.int32)
+    rw = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1).astype(jnp.int32)
+    assert grid_x < 1024 and grid_y < 1024, "tile grid exceeds 10-bit packing"
+    packed = rmx | (rmy << 10) | (rw << 20)
+    packed_p = _broadcast_to_segments(packed, offsets, B)
+    rmx_p = packed_p & 0x3FF
+    rmy_p = (packed_p >> 10) & 0x3FF
+    rw_p = packed_p >> 20
     raw_valid = k < jnp.minimum(total, B)
 
     local = k - off_p
@@ -107,17 +114,21 @@ def bin_pairs(
     tile_start = jnp.minimum(padded_start, B)
     tile_count = jnp.minimum(counts, tile_start[1:] - tile_start[:-1]).astype(jnp.int32)
 
-    # Destination slot per sorted pair (segment broadcasts again).
-    raw_start_p = _broadcast_to_segments(raw_start[:-1], raw_start[:-1], B)
-    tile_start_p = _broadcast_to_segments(tile_start[:-1], raw_start[:-1], B)
-    tile_count_p = _broadcast_to_segments(tile_count, raw_start[:-1], B)
-    rank = k - raw_start_p
-    pos = tile_start_p + rank
-    keep = (tile_sorted < num_tiles) & (rank < tile_count_p)
+    # Destination slot per sorted pair. pos = tile_start[t] + (k -
+    # raw_start[t]) = k + shift[t], and the keep test rank < tile_count[t]
+    # is pos < end[t] — two segment broadcasts instead of three.
+    shift_p = _broadcast_to_segments(tile_start[:-1] - raw_start[:-1], raw_start[:-1], B)
+    end_p = _broadcast_to_segments(tile_start[:-1] + tile_count, raw_start[:-1], B)
+    pos = k + shift_p
+    keep = (tile_sorted < num_tiles) & (pos < end_p)
     pos = jnp.where(keep, pos, B)  # dropped slots scatter out of bounds
 
-    pair_gauss = jnp.zeros(B, jnp.int32).at[pos].set(g_sorted, mode="drop")
-    pair_valid = jnp.zeros(B, bool).at[pos].set(keep, mode="drop")
+    # One fused scatter: store g+1 so 0 doubles as the invalid sentinel.
+    packed_out = jnp.zeros(B, jnp.int32).at[pos].set(
+        jnp.where(keep, g_sorted + 1, 0), mode="drop"
+    )
+    pair_gauss = jnp.maximum(packed_out - 1, 0)
+    pair_valid = packed_out > 0
 
     num_kept = jnp.sum(tile_count)
     return BinningOut(
