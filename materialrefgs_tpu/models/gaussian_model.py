@@ -237,12 +237,24 @@ def _scatter_rows(tree: GaussianParams, src_idx, dst_idx, valid) -> GaussianPara
 
 
 def add_densification_stats(
-    model: GaussianModel, mean2d_grad: jax.Array, radii: jax.Array
+    model: GaussianModel,
+    mean2d_grad: jax.Array,
+    radii: jax.Array,
+    ndc_scale: tuple[float, float] = (1.0, 1.0),
 ) -> GaussianModel:
     """gaussian_model.py:1059-1062: accumulate viewspace grad norms where
-    the gaussian was visible (radii > 0)."""
+    the gaussian was visible (radii > 0).
+
+    ndc_scale: (0.5*W, 0.5*H). Our rasterizer produces mean2D gradients in
+    *pixel* units; the reference's rasterizer scales them to NDC units
+    (backward.cu:260-261 `ddelx_dx = 0.5 * W`) before they reach
+    `add_densification_stats`, and `densify_grad_threshold=2e-4` is calibrated
+    against those NDC-unit norms. Without this scale, pixel-unit grads are
+    ~0.5*W times smaller and densification almost never fires (~400x at
+    W=800), which was the round-1 quality bottleneck."""
     upd = (radii > 0) & model.alive
-    gnorm = jnp.linalg.norm(mean2d_grad, axis=-1)
+    g = mean2d_grad * jnp.asarray(ndc_scale, mean2d_grad.dtype)[None, :]
+    gnorm = jnp.linalg.norm(g, axis=-1)
     return model.replace(
         xyz_gradient_accum=model.xyz_gradient_accum + jnp.where(upd, gnorm, 0.0),
         denom=model.denom + upd.astype(jnp.float32),

@@ -163,7 +163,19 @@ def rasterize(
 
     pre = preprocess(means3d, scales, rotations, camera, scale_modifier)
     if mean2d_offset is not None:
-        pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
+        # Screen-space translation probe (the reference's screenspace_points
+        # trick). mean2d feeds only the low-pass (2D) branch of the per-pixel
+        # test, so shifting it alone captures no gradient for splats on the
+        # ray-splat (3D) branch. A +delta screen shift of the 3D homography is
+        # exactly Tu += dx*Tw, Tv += dy*Tw (k = (px-dx)*Tw - Tu), so the
+        # offset's gradient is the full pixel-unit screen-translation grad of
+        # BOTH branches — the signal densify_grad_threshold is calibrated for.
+        dx = mean2d_offset[:, 0:1]
+        dy = mean2d_offset[:, 1:2]
+        T = pre.T_rows
+        T = T.at[:, 0, :].add(dx * T[:, 2, :])
+        T = T.at[:, 1, :].add(dy * T[:, 2, :])
+        pre = pre._replace(mean2d=pre.mean2d + mean2d_offset, T_rows=T)
     # Gaussians with opacity < 1/255 can never pass the per-pixel alpha test
     # (forward.cu:397); cull them here so dead fixed-capacity slots cost no
     # binning pairs.

@@ -332,7 +332,10 @@ def make_train_step(
         new_e2 = state.env2.replace(base=state.env2.base - env_lr * ue2.base)
 
         model = state.model.replace(params=new_p)
-        model = gm.add_densification_stats(model, goff, aux["radii"])
+        model = gm.add_densification_stats(
+            model, goff, aux["radii"],
+            ndc_scale=(0.5 * camera.width, 0.5 * camera.height),
+        )
 
         state = state.replace(
             model=model,

@@ -91,3 +91,44 @@ def test_grad_parity(which):
         np.testing.assert_allclose(
             gp, gr, atol=2e-3 * scale + 1e-4, err_msg=f"{which}: grad {n}"
         )
+
+
+def test_mean2d_offset_full_screen_shift_grad():
+    """The densification probe must capture screen-translation gradients for
+    BOTH per-pixel branches (ray-splat 3D and low-pass 2D) — reference
+    viewspace_point_tensor semantics (train_refnerf.py:1414-1418). Validated
+    against finite differences of an actual screen shift."""
+    rng = np.random.default_rng(3)
+    cam = make_cam()
+    P = 24
+    means = rng.normal(size=(P, 3)).astype(np.float32) * 0.5
+    # Big splats: the 3D ray-splat branch dominates (rho3d < rho2d).
+    scales = np.exp(rng.normal(size=(P, 2)).astype(np.float32) * 0.3 + 0.2)
+    rots = rng.normal(size=(P, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.8, size=(P,)).astype(np.float32)
+    colors = rng.uniform(size=(P, 3)).astype(np.float32)
+    feats = rng.uniform(size=(P, 2)).astype(np.float32)
+    args = tuple(jnp.asarray(a) for a in (means, scales, rots, opac, colors, feats))
+
+    def f(off):
+        out = rasterize(
+            *args, camera=cam, bg_color=jnp.zeros(3), config=CFG,
+            mean2d_offset=off,
+        )
+        return jnp.sum(jnp.sin(out["render"] * 2.0))
+
+    zero = jnp.zeros((P, 2), jnp.float32)
+    g = np.asarray(jax.grad(f)(zero))
+    assert np.all(np.isfinite(g))
+    # At least one visible big splat must carry a nonzero screen grad.
+    assert np.abs(g).max() > 1e-5
+
+    # Finite-difference check on the largest-grad entry. eps must be large
+    # enough that the secant signal (~2*eps*|g|) clears f32 rounding of the
+    # summed loss (~2400, ulp 2.4e-4); 3e-2 px gives ~0.3 signal vs 5e-4
+    # noise at ~2% curvature error.
+    i, j = np.unravel_index(np.abs(g).argmax(), g.shape)
+    eps = 3e-2
+    e = zero.at[i, j].set(eps)
+    fd = (float(f(e)) - float(f(-e))) / (2 * eps)
+    np.testing.assert_allclose(g[i, j], fd, rtol=7e-2, atol=1e-5)
