@@ -210,3 +210,60 @@ def preset_glossy() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
             lambda_perceptual_loss=0.05,
         ),
     )
+
+
+# ------------------------------------------------------------- cfg_args I/O --
+
+
+def dump_config(
+    model_path: str,
+    model: ModelParams,
+    pipe: PipelineParams,
+    opt: OptimizationParams,
+    extra: dict | None = None,
+) -> None:
+    """Persist the run's full config (reference cfg_args dump,
+    train_refnerf.py:1648-1649) as JSON so eval can re-derive it without the
+    user re-passing --preset/flags (get_combined_args,
+    arguments/__init__.py:254-274)."""
+    import json
+    import os
+
+    os.makedirs(model_path, exist_ok=True)
+    payload = {
+        "model": dataclasses.asdict(model),
+        "pipeline": dataclasses.asdict(pipe),
+        "optimization": dataclasses.asdict(opt),
+        "extra": extra or {},
+    }
+    with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+def load_config(
+    model_path: str,
+) -> tuple[ModelParams, PipelineParams, OptimizationParams, dict] | None:
+    """Read cfg_args.json back; None when the run predates it. Unknown keys
+    (from older/newer configs) are dropped; missing keys take defaults."""
+    import json
+    import os
+
+    p = os.path.join(model_path, "cfg_args.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        payload = json.load(f)
+
+    def build(cls, d):
+        names = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in names}
+        if "env_scope_center" in kw and isinstance(kw["env_scope_center"], list):
+            kw["env_scope_center"] = tuple(kw["env_scope_center"])
+        return cls(**kw)
+
+    return (
+        build(ModelParams, payload.get("model", {})),
+        build(PipelineParams, payload.get("pipeline", {})),
+        build(OptimizationParams, payload.get("optimization", {})),
+        payload.get("extra", {}),
+    )

@@ -50,16 +50,28 @@ def render_set(
     opts: RenderOptions = RenderOptions(),
     tracer_cfg: TracerConfig = TracerConfig(),
     dump_maps: bool = True,
+    bg_color=(0.0, 0.0, 0.0),
+    stage: str = "surfel",
 ) -> dict:
-    """reference eval.py:23-106 render_set: per-view metrics + map dumps."""
+    """reference eval.py:23-106 render_set: per-view metrics + map dumps.
+
+    bg_color must match the dataset's composite background (white for the
+    Shiny Blender synthetic presets) or background pixels dominate the
+    error. stage="initial" evaluates the SH-color path (pre-deferred
+    curriculum phases, select_render_method train_refnerf.py:1495)."""
     psnrs, ssims, times = [], [], []
+    bg = jnp.asarray(bg_color, jnp.float32)
 
     def run(cam):
+        if stage == "initial":
+            from materialrefgs_tpu.render.renderers import render_initial
+
+            return render_initial(model, cam, bg, opts)
         if env_model is not None:
             return render_surfel2(
-                model, env_model, cam, jnp.zeros(3), envmap, opts, tracer_cfg
+                model, env_model, cam, bg, envmap, opts, tracer_cfg
             )
-        return render_surfel(model, cam, jnp.zeros(3), envmap, opts)
+        return render_surfel(model, cam, bg, envmap, opts)
 
     run_jit = jax.jit(run)
     for idx, (cam, gt) in enumerate(zip(cameras, images)):
@@ -76,11 +88,19 @@ def render_set(
             save_png(f"{base}/gt/{idx:05d}.png", gt)
             save_png(f"{base}/normal/{idx:05d}.png", np.asarray(pkg["rend_normal"]) * 0.5 + 0.5)
             save_png(f"{base}/depth/{idx:05d}.png", depth_vis(pkg["surf_depth"]))
-            save_png(f"{base}/diffuse/{idx:05d}.png", pkg["diffuse_map"])
-            save_png(f"{base}/specular/{idx:05d}.png", pkg["specular_map"])
-            save_png(f"{base}/albedo/{idx:05d}.png", pkg["base_color_map"])
-            save_png(f"{base}/roughness/{idx:05d}.png", np.asarray(pkg["roughness_map"])[..., 0])
-            save_png(f"{base}/metallic/{idx:05d}.png", np.asarray(pkg["refl_strength_map"])[..., 0])
+            for key, fname in [
+                ("diffuse_map", "diffuse"),
+                ("specular_map", "specular"),
+                ("base_color_map", "albedo"),
+            ]:
+                if key in pkg:
+                    save_png(f"{base}/{fname}/{idx:05d}.png", pkg[key])
+            for key, fname in [
+                ("roughness_map", "roughness"),
+                ("refl_strength_map", "metallic"),
+            ]:
+                if key in pkg:
+                    save_png(f"{base}/{fname}/{idx:05d}.png", np.asarray(pkg[key])[..., 0])
 
     # Skip the first frame's wall time (jit compile).
     fps = 1.0 / np.mean(times[1:]) if len(times) > 1 else 1.0 / max(times[0], 1e-9)

@@ -26,7 +26,15 @@ def save_checkpoint(state, iteration: int, path: str):
     ckptr.save(ckpt_dir, state, force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(path, "chkpnt_meta.json"), "w") as f:
-        json.dump({"iteration": iteration}, f)
+        json.dump(
+            {
+                "iteration": iteration,
+                # Restore templates must match the saved pytree structure:
+                # record whether the EnvGS branch was active.
+                "has_env_gs": getattr(state, "env_gs", None) is not None,
+            },
+            f,
+        )
 
 
 def load_checkpoint(template_state, path: str, iteration: int | None = None):

@@ -660,6 +660,38 @@ class Trainer:
         bot = np.concatenate([depth, albedo, np.clip(np.concatenate([rough[..., :1], refl[..., :1], rough[..., :1]*0], -1), 0, 1)], axis=1)
         save_png(os.path.join(self.vis_dir, f"{iteration:06d}.png"), np.concatenate([top, bot], axis=0))
 
+    def mine_ref_scores(self, threshold: float = 0.5):
+        """calc_ref_score (train_refnerf.py:790-1010, @no_grad): render
+        depth/normal/distance for every train view, mine multi-view
+        color-variance scores via occlusion-tested homography warps, and
+        install thresholded masks for the ref-score material supervision
+        (train_refreal.py:1237-1263). Score maps are normalized by their 98th
+        percentile before the (PNG-alpha>128 analog) 0.5 threshold."""
+        from materialrefgs_tpu.train import ref_score as rs
+
+        depths, normals, dists = [], [], []
+        for i in range(len(self.cameras)):
+            pkg = self._render_view(i, "surfel")
+            depths.append(np.asarray(pkg["surf_depth"]))
+            normals.append(np.asarray(pkg["rend_normal"]))
+            dists.append(np.asarray(pkg["rend_distance"]))
+        # Viewing dir in world = world_view[:3,:3] @ e_z (row-vector W2V^T).
+        R_list = [np.asarray(c.world_view[:3, :3]) for c in self.cameras]
+        neighbors = rs.neighbor_graph_wide(self.cameras, R_list)
+        scores = rs.compute_ref_scores(
+            self.cameras,
+            [np.asarray(im) for im in self.images],
+            depths, normals, dists, neighbors,
+            pixel_noise_th=self.opt.multi_view_pixel_noise_th,
+        )
+        masks = []
+        for s in scores:
+            hi = np.percentile(s, 98)
+            sn = s / max(hi, 1e-6)
+            masks.append((sn > threshold).astype(np.float32))
+        self.ref_score_masks = [jnp.asarray(m) for m in masks]
+        return scores, masks
+
     def _extract_mesh(self, iteration: int):
         """Periodic TSDF mesh artifact (train_refnerf.py:1459-1472)."""
         import os

@@ -31,12 +31,20 @@ def main():
     from materialrefgs_tpu.render.renderers import RenderOptions
     from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
 
-    preset = {
-        "refnerf": cfg.preset_refnerf,
-        "refreal": cfg.preset_refreal,
-        "glossy": cfg.preset_glossy,
-    }[args.preset]
-    model_params, pipe, opt = preset()
+    # Prefer the training run's dumped config (get_combined_args semantics,
+    # arguments/__init__.py:254-274) so non-default runs evaluate correctly;
+    # --preset is the fallback for runs predating cfg_args.json.
+    loaded = cfg.load_config(args.model_path)
+    if loaded is not None:
+        model_params, pipe, opt, _extra = loaded
+        print(f"Using {os.path.join(args.model_path, 'cfg_args.json')}")
+    else:
+        preset = {
+            "refnerf": cfg.preset_refnerf,
+            "refreal": cfg.preset_refreal,
+            "glossy": cfg.preset_glossy,
+        }[args.preset]
+        model_params, pipe, opt = preset()
     model_params = dataclasses.replace(
         model_params, source_path=args.source_path, model_path=args.model_path
     )
@@ -58,16 +66,25 @@ def main():
     if os.path.exists(env_ply):
         env_model, _, _ = gaussian_io.load_ply(env_ply, max_sh_degree=model_params.sh_degree)
 
-    opts = RenderOptions(srgb=opt.srgb, raster=RasterizeConfig())
+    opts = RenderOptions(
+        srgb=opt.srgb, unbiased_depth=pipe.unbiased_depth, raster=RasterizeConfig()
+    )
+    bg = (1.0, 1.0, 1.0) if model_params.white_background else (0.0, 0.0, 0.0)
     out_dir = os.path.join(args.model_path, f"eval_{it}")
     if not args.skip_test and scene.test_cameras:
         images = [scene.test_image(i) for i in range(len(scene.test_cameras))]
-        m = render_set(out_dir, "test", scene.test_cameras, images, model, mips, env_model, opts)
+        m = render_set(
+            out_dir, "test", scene.test_cameras, images, model, mips, env_model,
+            opts, bg_color=bg,
+        )
         write_metrics(out_dir, m)
         print("test:", {k: v for k, v in m.items() if k != "per_view_psnr"})
     if not args.skip_train:
         images = [scene.train_image(i) for i in range(len(scene.train_cameras))]
-        m = render_set(out_dir, "train", scene.train_cameras, images, model, mips, env_model, opts)
+        m = render_set(
+            out_dir, "train", scene.train_cameras, images, model, mips, env_model,
+            opts, bg_color=bg,
+        )
         print("train:", {k: v for k, v in m.items() if k != "per_view_psnr"})
 
 

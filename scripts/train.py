@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--checkpoint_iterations", type=int, nargs="+", default=None)
     ap.add_argument("--test_every", type=int, default=0,
                     help="evaluate test-set PSNR every N iters (psnr.json)")
+    ap.add_argument("--start_checkpoint", default=None,
+                    help="model dir containing chkpnt{N} to resume from "
+                         "(reference train_refnerf.py:1036-1046)")
+    ap.add_argument("--ref_score_path", default=None,
+                    help="dir of precomputed reflection-score PNGs "
+                         "(train_refreal.py:177-185); 'auto' mines them "
+                         "in-process at ref_score_start_iter")
     args = ap.parse_args()
 
     from materialrefgs_tpu import config as cfg
@@ -61,6 +68,12 @@ def main():
     if args.resolution:
         model_params = dataclasses.replace(model_params, resolution=args.resolution)
 
+    cfg.dump_config(
+        args.model_path, model_params, pipe, opt,
+        extra={"preset": args.preset, "capacity": args.capacity,
+               "pair_capacity": args.pair_capacity, "seed": args.seed},
+    )
+
     print(f"Loading scene from {args.source_path} ...")
     scene = Scene.load(model_params)
     n_train = len(scene.train_cameras)
@@ -81,6 +94,22 @@ def main():
             else:
                 priors = None
                 break
+
+    ref_score_masks = None
+    if args.ref_score_path and args.ref_score_path != "auto":
+        # Precomputed reflection-score PNGs (train_refreal.py:177-185):
+        # mask = last channel > 128.
+        from PIL import Image
+
+        ref_score_masks = []
+        for ci in scene.info.train_cameras:
+            p = os.path.join(args.ref_score_path, ci.image_name + ".png")
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"--ref_score_path given but {p} is missing"
+                )
+            arr = np.asarray(Image.open(p))
+            ref_score_masks.append((arr[..., -1] > 128).astype(np.float32))
 
     pcd = scene.info.point_cloud
     if len(pcd.points) > args.capacity:
@@ -110,6 +139,7 @@ def main():
         seed=args.seed,
         masks=masks,
         normal_priors=priors,
+        ref_score_masks=ref_score_masks,
         nearest_ids=scene.nearest_ids,
         with_warp=(opt.multi_view_ncc_weight > 0),
         tracer_cfg=TracerConfig(pair_capacity=args.pair_capacity),
@@ -128,14 +158,35 @@ def main():
     # Marks beyond the run length are never reached (reference semantics);
     # without this a stray --checkpoint_iterations would extend training.
     marks = {m for m in marks if m <= opt.iterations}
-    t0 = time.time()
     done = 0
+    if args.start_checkpoint:
+        # Resume (reference train_refnerf.py:1036-1046: restore model +
+        # optimizer + env maps; env-GS branch rebuilt to match the pytree).
+        from materialrefgs_tpu.train.checkpoint import load_checkpoint
+
+        with open(os.path.join(args.start_checkpoint, "chkpnt_meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("has_env_gs"):
+            trainer._init_env_gs()
+        trainer.state, done = load_checkpoint(trainer.state, args.start_checkpoint)
+        print(f"Resumed from {args.start_checkpoint} at iteration {done}")
+        marks = {m for m in marks if m > done} | {opt.iterations}
+
+    if args.ref_score_path == "auto":
+        rs_iter = opt.ref_score_start_iter
+        if done < rs_iter <= opt.iterations:
+            marks |= {rs_iter}
+
+    t0 = time.time()
     for target in sorted(marks):
         n = target - done
         if n <= 0:
             continue
         trainer.train(n, start_iter=done + 1, log_every=args.log_every)
         done = target
+        if args.ref_score_path == "auto" and target == opt.ref_score_start_iter:
+            print(f"[{target}] mining reflection scores ...")
+            trainer.mine_ref_scores()
         if trainer.metrics_log:
             logger.scalars(target, trainer.metrics_log[-1])
         if test_every and target % test_every == 0 and scene.test_cameras:
@@ -145,12 +196,22 @@ def main():
             from materialrefgs_tpu.models.env_light import EnvLightMips
             from materialrefgs_tpu.render.renderers import RenderOptions
 
+            from materialrefgs_tpu.train.trainer import select_stage
+
             mips = EnvLightMips.build_jit(trainer.state.env1)
+            stage = select_stage(target, opt)
             m = render_set(
                 args.model_path, "test_eval", scene.test_cameras, test_imgs,
                 trainer.state.model, mips,
-                opts=RenderOptions(raster=RasterizeConfig(pair_capacity=args.pair_capacity)),
+                env_model=trainer.state.env_gs if stage == "surfel2" else None,
+                opts=RenderOptions(
+                    unbiased_depth=pipe.unbiased_depth, srgb=opt.srgb,
+                    raster=RasterizeConfig(pair_capacity=args.pair_capacity),
+                ),
+                tracer_cfg=trainer.tracer_cfg,
                 dump_maps=False,
+                bg_color=bg,
+                stage="initial" if stage == "initial" else "surfel",
             )
             logger.test_psnr(target, m["psnr"])
             print(f"[{target}] test psnr {m['psnr']:.2f}")
