@@ -27,3 +27,15 @@ if not _os.environ.get("MATERIALREFGS_NO_COMPCACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+# TPU matmuls/convs default to bf16 inputs; graphics math here (projection
+# chains, moment/variance convolutions) cancels catastrophically at bf16 —
+# measured: SSIM returning 9.4 inside the train step poisoned round-1
+# training. f32 everywhere by default; the Pallas kernels and any hot path
+# that can tolerate lower precision opt in explicitly per-op.
+try:
+    import jax as _jax2
+
+    _jax2.config.update("jax_default_matmul_precision", "highest")
+except Exception:
+    pass

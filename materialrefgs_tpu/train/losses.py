@@ -35,7 +35,12 @@ def _gaussian_window(size: int, sigma: float):
 
 
 def _depthwise_conv2d(img, kernel, padding="SAME"):
-    """img (H, W, C), kernel (kh, kw) -> (H, W, C)."""
+    """img (H, W, C), kernel (kh, kw) -> (H, W, C).
+
+    HIGHEST precision is load-bearing: at the TPU's default bf16 conv
+    precision the SSIM moment differences E[x^2]-E[x]^2 cancel to garbage
+    (observed ssim=9.4 in-train) and the resulting gradients destroy
+    convergence."""
     C = img.shape[-1]
     k = jnp.broadcast_to(kernel[None, None], (C, 1, *kernel.shape))
     out = jax.lax.conv_general_dilated(
@@ -45,6 +50,7 @@ def _depthwise_conv2d(img, kernel, padding="SAME"):
         padding=padding,
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0].transpose(1, 2, 0)
 
@@ -55,8 +61,10 @@ def ssim(img1, img2, window_size: int = 11):
     mu1 = _depthwise_conv2d(img1, w)
     mu2 = _depthwise_conv2d(img2, w)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_conv2d(img1 * img1, w) - mu1_sq
-    s2 = _depthwise_conv2d(img2 * img2, w) - mu2_sq
+    # Clamp variances at 0: the moment difference can go slightly negative
+    # from rounding, and a negative denominator flips the SSIM sign.
+    s1 = jnp.maximum(_depthwise_conv2d(img1 * img1, w) - mu1_sq, 0.0)
+    s2 = jnp.maximum(_depthwise_conv2d(img2 * img2, w) - mu2_sq, 0.0)
     s12 = _depthwise_conv2d(img1 * img2, w) - mu12
     C1, C2 = 0.01**2, 0.03**2
     m = ((2 * mu12 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))

@@ -544,6 +544,14 @@ class Trainer:
                 self.state, camera, gt, extra, nearest_camera, nearest_gt
             )
 
+            # Binning overflow: pairs beyond pair_capacity are silently
+            # dropped by the fixed-capacity sort, corrupting the render.
+            # React like the CUDA rasterizer's dynamic buffer growth
+            # (rasterizer_impl.cu resizeFunctional): escalate and recompile.
+            ovf = float(metrics["overflow"])
+            if ovf > 0:
+                self._escalate_pair_capacity(ovf, iteration)
+
             self._densify_and_reset(iteration, stage)
 
             if self.vis_dir and iteration % self.vis_every == 0:
@@ -561,6 +569,30 @@ class Trainer:
                 m["n_alive"] = int(self.state.model.n_alive)
                 self.metrics_log.append(m)
         return self.state
+
+    MAX_PAIR_CAPACITY = 1 << 23
+
+    def _escalate_pair_capacity(self, overflow: float, iteration: int):
+        """Double pair_capacity until the binning fits (bounded), then retrace
+        the cached step functions. The overflowed frame itself was truncated;
+        subsequent frames render complete."""
+        cap = self.raster_cfg.pair_capacity
+        needed = cap + int(overflow)
+        new_cap = cap
+        while new_cap < needed and new_cap < self.MAX_PAIR_CAPACITY:
+            new_cap *= 2
+        if new_cap == cap:
+            print(
+                f"[warn] it={iteration}: binning overflow {int(overflow)} but "
+                f"pair_capacity already at MAX ({cap}); renders are truncated"
+            )
+            return
+        print(
+            f"[warn] it={iteration}: binning overflow {int(overflow)}; "
+            f"pair_capacity {cap} -> {new_cap} (recompiling step fns)"
+        )
+        self.raster_cfg = dataclasses.replace(self.raster_cfg, pair_capacity=new_cap)
+        self._steps.clear()
 
     def _densify_and_reset(self, iteration: int, stage: str):
         """Densification + reset block (train_refnerf.py:1414-1462)."""

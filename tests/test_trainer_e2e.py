@@ -124,3 +124,30 @@ def test_full_curriculum_stages(rng):
     assert trainer.state.env_gs is not None  # surfel2 stage initialized EnvGS
     for m in trainer.metrics_log:
         assert np.isfinite(m["loss"]), m
+
+
+def test_overflow_escalates_pair_capacity(rng):
+    """A deliberately undersized pair_capacity must auto-escalate (the CUDA
+    rasterizer grows its buffers dynamically; silent truncation corrupted
+    round-1 training runs)."""
+    cams, images, gt_means = synthetic_scene(rng, n_cams=1)
+    pts = gt_means
+    cols = rng.uniform(size=(len(pts), 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=128)
+    opt = dataclasses.replace(
+        OptimizationParams(),
+        initial=1, init_until_iter=10_000, densify_from_iter=10**9,
+        feature_rest_from_iter=100_000,
+        lambda_normal_render_depth=0.0, lambda_dist=0.0,
+    )
+    cap0 = 1 << 7  # far below the ~64 splats x tiles pair demand
+    trainer = Trainer(
+        model, cams, images, opt, PipelineParams(), cameras_extent=3.0,
+        raster_cfg=RasterizeConfig(pair_capacity=cap0, interpret=True),
+        envmap_res=32,
+    )
+    trainer.train(2, log_every=1)
+    assert trainer.raster_cfg.pair_capacity > cap0
+    # After escalation the next step must report zero overflow.
+    trainer.train(1, start_iter=3, log_every=1)
+    assert trainer.metrics_log[-1]["overflow"] == 0
