@@ -62,6 +62,15 @@ def render_set(
     psnrs, ssims, times = [], [], []
     bg = jnp.asarray(bg_color, jnp.float32)
 
+    # LPIPS(vgg) when converted weights exist (reference eval.py:52); absent
+    # weights are reported as lpips=None, never as a silent zero.
+    from materialrefgs_tpu.train import lpips as lpips_mod
+
+    lpips_fn = None
+    if lpips_mod.weights_available():
+        lpips_fn = lpips_mod.make_lpips_fn()
+    lpipses = []
+
     def run(cam):
         if stage == "initial":
             from materialrefgs_tpu.render.renderers import render_initial
@@ -82,6 +91,8 @@ def render_set(
         gt = jnp.asarray(gt)
         psnrs.append(float(psnr(pkg["render"], gt)))
         ssims.append(float(ssim(pkg["render"], gt)))
+        if lpips_fn is not None:
+            lpipses.append(float(lpips_fn(jnp.clip(pkg["render"], 0, 1), gt)))
         if dump_maps:
             base = os.path.join(out_dir, name)
             save_png(f"{base}/renders/{idx:05d}.png", pkg["render"])
@@ -107,7 +118,7 @@ def render_set(
     return {
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
-        "lpips": None,  # no pretrained VGG offline; see module docstring
+        "lpips": float(np.mean(lpipses)) if lpipses else None,
         "fps": float(fps),
         "per_view_psnr": psnrs,
     }

@@ -39,11 +39,17 @@ from materialrefgs_tpu.utils.transforms import normalize, reflect
 TRI_CHUNK = 512
 RAY_BLOCK = 2048
 T_FAR = 10.0  # reference miss sentinel (raytracer.py:220 hit_depth==10.)
+CLUSTER = 64  # triangles per Morton cluster (pre-cull granularity)
 
 
 @flax.struct.dataclass
 class MeshData:
-    """Static-shape triangle soup with precomputed intersection terms."""
+    """Static-shape triangle soup with precomputed intersection terms.
+
+    Triangles are Morton-ordered (centroid Z-curve) so consecutive CLUSTER
+    rows are spatially tight; cluster_lo/hi are their AABBs, used by the
+    culled trace path (the TPU stand-in for the reference's BVH,
+    submodules/raytracing/bvh.cu)."""
 
     v0: jax.Array  # (T, 3) first vertex of each triangle
     e1: jax.Array  # (T, 3) v1 - v0
@@ -52,11 +58,36 @@ class MeshData:
     valid: jax.Array  # (T,) bool, False on padding rows
     vertices: jax.Array  # (V, 3)
     triangles: jax.Array  # (T, 3) int32 vertex ids (clamped on padding)
+    cluster_lo: jax.Array  # (NC, 3) cluster AABB mins (padding: +inf)
+    cluster_hi: jax.Array  # (NC, 3) cluster AABB maxs (padding: -inf)
     attrs: dict = flax.struct.field(default_factory=dict)  # name -> (V, C)
 
     @property
     def n_tris(self) -> int:
         return self.v0.shape[0]
+
+    @property
+    def n_clusters(self) -> int:
+        return self.cluster_lo.shape[0]
+
+
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Sort order of points along a 30-bit 3D Morton curve."""
+    lo = centroids.min(0)
+    span = np.maximum(centroids.max(0) - lo, 1e-12)
+    q = np.clip(((centroids - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable")
 
 
 def build_mesh(
@@ -72,7 +103,11 @@ def build_mesh(
     vertices = np.asarray(vertices, np.float32)
     triangles = np.asarray(triangles, np.int32)
     T = triangles.shape[0]
+    if T > 0:
+        cent = vertices[triangles].mean(axis=1)
+        triangles = triangles[_morton_order(cent)]
     T_pad = max(chunk, ((T + chunk - 1) // chunk) * chunk)
+    T_pad = ((T_pad + CLUSTER - 1) // CLUSTER) * CLUSTER
     tri_pad = np.zeros((T_pad, 3), np.int32)
     tri_pad[:T] = triangles
     valid = np.zeros((T_pad,), bool)
@@ -84,6 +119,13 @@ def build_mesh(
     e2 = tv[:, 2] - v0
     n = np.cross(e1, e2)
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+    # Cluster AABBs over Morton-consecutive triangle groups.
+    NC = T_pad // CLUSTER
+    tvc = tv.reshape(NC, CLUSTER, 3, 3)
+    vmask = valid.reshape(NC, CLUSTER, 1, 1)
+    lo = np.where(vmask, tvc, np.inf).min(axis=(1, 2))
+    hi = np.where(vmask, tvc, -np.inf).max(axis=(1, 2))
     return MeshData(
         v0=jnp.asarray(v0),
         e1=jnp.asarray(e1),
@@ -92,23 +134,27 @@ def build_mesh(
         valid=jnp.asarray(valid),
         vertices=jnp.asarray(vertices),
         triangles=jnp.asarray(tri_pad),
+        cluster_lo=jnp.asarray(lo.astype(np.float32)),
+        cluster_hi=jnp.asarray(hi.astype(np.float32)),
         attrs={k: jnp.asarray(v, jnp.float32) for k, v in (attrs or {}).items()},
     )
 
 
-def _trace_block(mesh: MeshData, rays_o, rays_d, t_min, t_far):
-    """Nearest hit for one (R, 3) ray block. Returns t, tri, u, v arrays."""
+def _trace_block(mesh_v0, mesh_e1, mesh_e2, mesh_valid, gid, rays_o, rays_d, t_min, t_far):
+    """Nearest hit for one (R, 3) ray block against a (Tn, 3) triangle soup.
+    gid (Tn,) maps local rows to global triangle ids. Returns t, tri, u, v."""
     R = rays_o.shape[0]
-    Tn = mesh.n_tris
+    Tn = mesh_v0.shape[0]
     n_chunks = Tn // TRI_CHUNK
 
     def body(carry, ci):
         best_t, best_tri, best_u, best_v = carry
         sl = ci * TRI_CHUNK
-        v0 = jax.lax.dynamic_slice_in_dim(mesh.v0, sl, TRI_CHUNK)
-        e1 = jax.lax.dynamic_slice_in_dim(mesh.e1, sl, TRI_CHUNK)
-        e2 = jax.lax.dynamic_slice_in_dim(mesh.e2, sl, TRI_CHUNK)
-        ok = jax.lax.dynamic_slice_in_dim(mesh.valid, sl, TRI_CHUNK)
+        v0 = jax.lax.dynamic_slice_in_dim(mesh_v0, sl, TRI_CHUNK)
+        e1 = jax.lax.dynamic_slice_in_dim(mesh_e1, sl, TRI_CHUNK)
+        e2 = jax.lax.dynamic_slice_in_dim(mesh_e2, sl, TRI_CHUNK)
+        ok = jax.lax.dynamic_slice_in_dim(mesh_valid, sl, TRI_CHUNK)
+        gids = jax.lax.dynamic_slice_in_dim(gid, sl, TRI_CHUNK)
 
         # Moller-Trumbore, (R, C) batched.
         h = jnp.cross(rays_d[:, None, :], e2[None, :, :])  # (R, C, 3)
@@ -133,7 +179,7 @@ def _trace_block(mesh: MeshData, rays_o, rays_d, t_min, t_far):
         r = jnp.arange(R)
         tc, uc, vc = t[r, j], u[r, j], v[r, j]
         better = tc < best_t
-        best_tri = jnp.where(better, sl + j, best_tri)
+        best_tri = jnp.where(better, gids[j], best_tri)
         best_u = jnp.where(better, uc, best_u)
         best_v = jnp.where(better, vc, best_v)
         best_t = jnp.minimum(best_t, tc)
@@ -149,32 +195,109 @@ def _trace_block(mesh: MeshData, rays_o, rays_d, t_min, t_far):
     return t, tri, u, v
 
 
+def _trace_block_culled(mesh: MeshData, rays_o, rays_d, t_min, t_far, cull_cap):
+    """Nearest hit for one ray block with Morton-cluster AABB pre-cull.
+
+    Slab-tests every cluster AABB against every ray in the block, keeps
+    clusters any ray may hit (block-coherent rays cull most), compacts the
+    survivor ids to a static cull_cap list, then runs Moller-Trumbore only on
+    those clusters' triangles. Returns (t, tri, u, v, n_dropped)."""
+    R = rays_o.shape[0]
+    NC = mesh.n_clusters
+
+    # Ray-AABB slab test, (R, NC). Axis-parallel directions use a large
+    # finite reciprocal (1e12) — inf would make 0*inf NaN on exact-boundary
+    # origins and silently cull the cluster.
+    d_safe = jnp.where(
+        jnp.abs(rays_d) > 1e-12, rays_d, jnp.where(rays_d >= 0, 1e-12, -1e-12)
+    )
+    inv = 1.0 / d_safe
+    t1 = (mesh.cluster_lo[None] - rays_o[:, None]) * inv[:, None]  # (R, NC, 3)
+    t2 = (mesh.cluster_hi[None] - rays_o[:, None]) * inv[:, None]
+    tn = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (R, NC)
+    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit_c = (tf >= jnp.maximum(tn, t_min)) & (tn <= t_far)
+    any_hit = jnp.any(hit_c, axis=0)  # (NC,)
+
+    # Compact survivor cluster ids to cull_cap (ascending; padding id = NC).
+    idx = jnp.where(any_hit, jnp.arange(NC, dtype=jnp.int32), NC)
+    if cull_cap > NC:  # pad so the static slice below is well-formed
+        idx = jnp.concatenate([idx, jnp.full(cull_cap - NC, NC, jnp.int32)])
+    sel = jnp.sort(idx)[:cull_cap]  # (K,)
+    n_surv = jnp.sum(any_hit.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_surv - cull_cap, 0)
+    live = sel < NC
+    safe = jnp.minimum(sel, NC - 1)
+
+    def gather(arr):  # (NC*CLUSTER, ...) -> (K*CLUSTER, ...)
+        a = arr.reshape(NC, CLUSTER, *arr.shape[1:])[safe]
+        return a.reshape(cull_cap * CLUSTER, *arr.shape[1:])
+
+    v0s = gather(mesh.v0)
+    e1s = gather(mesh.e1)
+    e2s = gather(mesh.e2)
+    oks = gather(mesh.valid) & jnp.repeat(live, CLUSTER)
+    gids = (safe[:, None] * CLUSTER + jnp.arange(CLUSTER)[None, :]).reshape(-1)
+    t, tri, u, v = _trace_block(v0s, e1s, e2s, oks, gids, rays_o, rays_d, t_min, t_far)
+    return t, tri, u, v, n_dropped
+
+
 def trace(
     mesh: MeshData,
     rays_o: jax.Array,  # (..., 3)
     rays_d: jax.Array,  # (..., 3) need not be unit; t is in units of |d|
     t_min: float = 1e-3,
     t_far: float = T_FAR,
+    use_cull: bool = True,
+    cull_cap: int | None = None,
+    ray_block: int | None = None,
 ):
     """Nearest-hit trace. Returns dict with
-      pos (..., 3), normal (..., 3), depth (...,), tri (...,), bary (..., 2).
+      pos (..., 3), normal (..., 3), depth (...,), tri (...,), bary (..., 2),
+      cull_dropped () int (clusters beyond cull_cap; 0 = exact).
     Miss: depth = t_far, tri = -1, pos = o + t_far * d, normal = 0
-    (matching raytracer.py trace(): positions advance to far, depth 10)."""
+    (matching raytracer.py trace(): positions advance to far, depth 10).
+
+    use_cull enables the Morton-cluster AABB pre-cull: exact as long as
+    cull_dropped == 0. cull_cap (default 64 clusters = 4096 triangles per
+    256-ray block) bounds the per-block survivor list; callers should check
+    cull_dropped and re-trace with a larger cap when it is nonzero."""
     shape = rays_o.shape[:-1]
     o = rays_o.reshape(-1, 3)
     d = rays_d.reshape(-1, 3)
     R = o.shape[0]
-    R_pad = max(RAY_BLOCK, ((R + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK)
+    NC = mesh.n_clusters
+    per_block = ray_block or (256 if use_cull else RAY_BLOCK)
+    R_pad = max(per_block, ((R + per_block - 1) // per_block) * per_block)
     o = jnp.concatenate([o, jnp.zeros((R_pad - R, 3))], 0)
     d = jnp.concatenate([d, jnp.ones((R_pad - R, 3))], 0)
+    n_blk = R_pad // per_block
 
-    def blk(args):
-        return _trace_block(mesh, args[0], args[1], t_min, t_far)
+    if use_cull:
+        gran = TRI_CHUNK // CLUSTER
+        cap = cull_cap or min(NC, 64)
+        cap = min(max(((cap + gran - 1) // gran) * gran, gran), ((NC + gran - 1) // gran) * gran)
 
-    n_blk = R_pad // RAY_BLOCK
-    t, tri, u, v = jax.lax.map(
-        blk, (o.reshape(n_blk, RAY_BLOCK, 3), d.reshape(n_blk, RAY_BLOCK, 3))
-    )
+        def blk(args):
+            return _trace_block_culled(mesh, args[0], args[1], t_min, t_far, cap)
+
+        t, tri, u, v, ndrop = jax.lax.map(
+            blk, (o.reshape(n_blk, per_block, 3), d.reshape(n_blk, per_block, 3))
+        )
+        cull_dropped = jnp.sum(ndrop)
+    else:
+        gid = jnp.arange(mesh.n_tris, dtype=jnp.int32)
+
+        def blk(args):
+            return _trace_block(
+                mesh.v0, mesh.e1, mesh.e2, mesh.valid, gid,
+                args[0], args[1], t_min, t_far,
+            )
+
+        t, tri, u, v = jax.lax.map(
+            blk, (o.reshape(n_blk, per_block, 3), d.reshape(n_blk, per_block, 3))
+        )
+        cull_dropped = jnp.int32(0)
     t, tri, u, v = (x.reshape(-1)[:R] for x in (t, tri, u, v))
 
     hit = tri >= 0
@@ -188,6 +311,7 @@ def trace(
         "depth": t_out.reshape(shape),
         "tri": jnp.where(hit, tri, -1).reshape(shape),
         "bary": jnp.stack([u, v], -1).reshape(*shape, 2),
+        "cull_dropped": cull_dropped,
     }
 
 

@@ -138,6 +138,7 @@ def calculate_loss(
     opt: OptimizationParams,
     iteration: jax.Array,
     image_weight: jax.Array | None = None,  # (H, W)
+    lpips_weights: dict | None = None,  # VGG16+lin weights (train/lpips.py)
 ):
     """Core photometric + geometric losses (loss_utils.py:142-228).
 
@@ -187,6 +188,17 @@ def calculate_loss(
         )
         tb["loss_depth_smooth"] = ds
         loss = loss + gate * opt.lambda_depth_smooth * ds
+
+    if opt.use_perceptual_loss and lpips_weights is not None:
+        # LPIPS perceptual term (loss_utils.py:209-212). The Trainer
+        # hard-errors at init when use_perceptual_loss is set but weights are
+        # absent — this branch never silently no-ops.
+        from materialrefgs_tpu.train import lpips as lpips_mod
+
+        gate = (it > opt.perceptual_loss_start_iter).astype(jnp.float32)
+        pl = lpips_mod.lpips(img, gt_image, lpips_weights)
+        tb["perceptual_loss"] = pl
+        loss = loss + gate * opt.lambda_perceptual_loss * pl
 
     tb["loss"] = loss
     return loss, tb

@@ -1,0 +1,60 @@
+"""LPIPS module mechanics (real VGG weights unavailable offline: these tests
+use randomly initialized weights in the documented .npz format)."""
+import numpy as np
+import pytest
+
+from materialrefgs_tpu.train import lpips as lpips_mod
+
+
+def make_fake_weights(path, rng):
+    chans = lpips_mod._VGG_CHANNELS
+    out = {}
+    cin = 3
+    for i, c in enumerate(chans):
+        out[f"conv{i}_w"] = rng.normal(size=(3, 3, cin, c)).astype(np.float32) * 0.05
+        out[f"conv{i}_b"] = np.zeros(c, np.float32)
+        cin = c
+    for j, ci in enumerate([64, 128, 256, 512, 512]):
+        out[f"lin{j}"] = rng.uniform(size=(ci,)).astype(np.float32)
+    np.savez(path, **out)
+    return path
+
+
+def test_missing_weights_raise(tmp_path):
+    with pytest.raises(lpips_mod.LpipsWeightsMissing):
+        lpips_mod.load_weights(str(tmp_path / "nope.npz"))
+
+
+def test_lpips_distance_properties(tmp_path, rng):
+    p = make_fake_weights(str(tmp_path / "w.npz"), rng)
+    fn = lpips_mod.make_lpips_fn(p)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(size=a.shape).astype(np.float32) * 0.2, 0, 1)
+    d_same = float(fn(a, a))
+    d_diff = float(fn(a, b))
+    assert abs(d_same) < 1e-6
+    assert d_diff > d_same
+    assert np.isfinite(d_diff)
+
+
+def test_trainer_hard_errors_without_weights(rng, monkeypatch, tmp_path):
+    """use_perceptual_loss=True must fail loudly when weights are absent
+    (round-1 silent no-op defect)."""
+    import dataclasses
+
+    from materialrefgs_tpu.config import OptimizationParams, PipelineParams
+    from materialrefgs_tpu.models import gaussian_model as gm
+    from materialrefgs_tpu.train.trainer import Trainer
+    from tests.test_trainer_e2e import synthetic_scene
+
+    monkeypatch.setenv(
+        lpips_mod.DEFAULT_WEIGHTS_ENV, str(tmp_path / "absent.npz")
+    )
+    cams, images, gt_means = synthetic_scene(rng, n_cams=1)
+    model = gm.create_from_points(
+        gt_means, rng.uniform(size=(len(gt_means), 3)).astype(np.float32),
+        capacity=128,
+    )
+    opt = dataclasses.replace(OptimizationParams(), use_perceptual_loss=True)
+    with pytest.raises(lpips_mod.LpipsWeightsMissing):
+        Trainer(model, cams, images, opt, PipelineParams(), cameras_extent=3.0)

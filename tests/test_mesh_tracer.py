@@ -252,3 +252,37 @@ def test_mesh_indirect_maps_in_render_surfel():
     )
     assert np.all(np.isfinite(np.asarray(pkg2["render"])))
     assert "indirect_color" in pkg2
+
+
+def test_culled_trace_matches_brute(sphere):
+    """The Morton-cluster pre-cull must be exact when nothing is dropped."""
+    _, _, sphere = sphere
+    rng = np.random.default_rng(11)
+    R = 700
+    o = rng.normal(size=(R, 3)).astype(np.float32) * 0.2 + np.array([0, 0, -3], np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d[:, 2] += 2.0  # bias toward the sphere
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+    brute = mt.trace(sphere, jnp.asarray(o), jnp.asarray(d), use_cull=False)
+    culled = mt.trace(sphere, jnp.asarray(o), jnp.asarray(d), use_cull=True)
+    assert int(culled["cull_dropped"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(brute["tri"]), np.asarray(culled["tri"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(brute["depth"]), np.asarray(culled["depth"]), rtol=1e-6
+    )
+
+
+def test_culled_trace_cap_overflow_reported(sphere):
+    """Undersized cull_cap must report dropped clusters, never silently."""
+    verts, faces = _icosphere(3)  # 1280 tris -> 20 clusters (> min cap 8)
+    sphere = mt.build_mesh(verts, faces)
+    rng = np.random.default_rng(12)
+    R = 256
+    # Rays from everywhere through the whole sphere: every cluster survives.
+    o = rng.normal(size=(R, 3)).astype(np.float32) * 3.0
+    d = (-o / np.linalg.norm(o, axis=-1, keepdims=True)).astype(np.float32)
+    out = mt.trace(sphere, jnp.asarray(o), jnp.asarray(d), use_cull=True, cull_cap=8)
+    assert int(out["cull_dropped"]) > 0

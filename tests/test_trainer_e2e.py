@@ -48,6 +48,7 @@ def test_training_improves_psnr(rng):
 
     opt = dataclasses.replace(
         OptimizationParams(),
+        use_perceptual_loss=False,
         initial=1,
         init_until_iter=10_000,  # stay in the initial stage
         densify_from_iter=10,
@@ -86,6 +87,7 @@ def test_full_curriculum_stages(rng):
 
     opt = dataclasses.replace(
         OptimizationParams(),
+        use_perceptual_loss=False,
         initial=1,
         init_until_iter=2,
         volume_render_until_iter=4,
@@ -136,6 +138,7 @@ def test_overflow_escalates_pair_capacity(rng):
     model = gm.create_from_points(pts, cols, capacity=128)
     opt = dataclasses.replace(
         OptimizationParams(),
+        use_perceptual_loss=False,
         initial=1, init_until_iter=10_000, densify_from_iter=10**9,
         feature_rest_from_iter=100_000,
         lambda_normal_render_depth=0.0, lambda_dist=0.0,
