@@ -52,6 +52,7 @@ def render_set(
     dump_maps: bool = True,
     bg_color=(0.0, 0.0, 0.0),
     stage: str = "surfel",
+    mesh=None,  # ops.mesh_tracer.MeshData: mesh-traced specular visibility
 ) -> dict:
     """reference eval.py:23-106 render_set: per-view metrics + map dumps.
 
@@ -78,7 +79,7 @@ def render_set(
             return render_initial(model, cam, bg, opts)
         if env_model is not None:
             return render_surfel2(
-                model, env_model, cam, bg, envmap, opts, tracer_cfg
+                model, env_model, cam, bg, envmap, opts, tracer_cfg, mesh=mesh
             )
         return render_surfel(model, cam, bg, envmap, opts)
 
@@ -109,6 +110,7 @@ def render_set(
             for key, fname in [
                 ("roughness_map", "roughness"),
                 ("refl_strength_map", "metallic"),
+                ("visibility", "visibility"),
             ]:
                 if key in pkg:
                     save_png(f"{base}/{fname}/{idx:05d}.png", np.asarray(pkg[key])[..., 0])

@@ -95,18 +95,36 @@ def build_mesh(
     triangles: np.ndarray,
     attrs: dict | None = None,
     chunk: int = TRI_CHUNK,
+    pad_to: int | None = None,
+    pad_verts_to: int | None = None,
 ) -> MeshData:
     """Pack (V,3) vertices + (T,3) int triangles into a padded MeshData.
 
     attrs maps name -> (V, C) per-vertex arrays (reference load_from_ply_file
-    prefixes: diffuse/roughness/albedo/metallic/normal)."""
+    prefixes: diffuse/roughness/albedo/metallic/normal).
+
+    pad_to / pad_verts_to pad the triangle / vertex counts to a fixed
+    capacity so periodic mesh rebuilds (trainer past indirect_from_iter)
+    keep static shapes and never retrace the jitted train step."""
     vertices = np.asarray(vertices, np.float32)
     triangles = np.asarray(triangles, np.int32)
     T = triangles.shape[0]
+    if pad_to is not None and T > pad_to:
+        raise ValueError(f"mesh has {T} triangles > pad_to={pad_to}")
+    if pad_verts_to is not None:
+        if vertices.shape[0] > pad_verts_to:
+            raise ValueError(
+                f"mesh has {vertices.shape[0]} vertices > pad_verts_to={pad_verts_to}"
+            )
+        vertices = np.concatenate(
+            [vertices, np.zeros((pad_verts_to - vertices.shape[0], 3), np.float32)]
+        )
+    if vertices.shape[0] == 0:
+        vertices = np.zeros((1, 3), np.float32)  # padding rows index vertex 0
     if T > 0:
         cent = vertices[triangles].mean(axis=1)
         triangles = triangles[_morton_order(cent)]
-    T_pad = max(chunk, ((T + chunk - 1) // chunk) * chunk)
+    T_pad = max(chunk, ((max(T, pad_to or 0) + chunk - 1) // chunk) * chunk)
     T_pad = ((T_pad + CLUSTER - 1) // CLUSTER) * CLUSTER
     tri_pad = np.zeros((T_pad, 3), np.int32)
     tri_pad[:T] = triangles

@@ -133,8 +133,16 @@ def render_surfel2(
     tracer_cfg: TracerConfig = TracerConfig(),
     mean2d_offset: jax.Array | None = None,
     with_visibility: bool = True,
+    mesh=None,  # ops.mesh_tracer.MeshData: mesh-traced hard visibility
 ) -> dict:
-    """EnvGS composite forward (ref envgs_renderer.py:461-711)."""
+    """EnvGS composite forward (ref envgs_renderer.py:461-711).
+
+    When `mesh` (the extracted TSDF mesh) is given, specular visibility is
+    the mesh-traced occlusion of the reflected rays — the reference's
+    surfel4 contract (refl_utils.py:319-330: trace from the unbiased-depth
+    surface point, vis = depth >= 10) — and the splat-traced soft visibility
+    is skipped. Without a mesh the splat visibility approximates it
+    (documented round-1 substitute)."""
     colors = pc.get_colors(camera.camera_center)
     refl = pc.get_refl
     rough = pc.get_rough
@@ -177,7 +185,13 @@ def render_surfel2(
     indirect_light = indirect_results["render"]
 
     visibility = None
-    if with_visibility:
+    if mesh is not None:
+        from materialrefgs_tpu.render.renderers import mesh_visibility_map
+
+        visibility = mesh_visibility_map(
+            mesh, camera, normal_map, regs["surf_depth"], render_alpha
+        )
+    elif with_visibility:
         visibility = trace_visibility(
             pc, camera, normal_map, regs["surf_depth"], tracer_cfg
         )

@@ -309,6 +309,37 @@ def render_volume(
     }
 
 
+def mesh_visibility_map(
+    mesh,  # ops.mesh_tracer.MeshData
+    camera: Camera,
+    normal_map: jax.Array,  # (H, W, 3) alpha-divided world normal
+    surf_depth: jax.Array,  # (H, W) or (H, W, 1)
+    render_alpha: jax.Array | None = None,
+) -> jax.Array:
+    """Mesh-traced specular visibility (refl_utils.py:319-330, :381-392):
+    reflect camera rays at the unbiased-depth surface, nearest-hit the
+    extracted mesh, vis = miss (depth >= 10). Non-differentiable in the
+    reference (ray tracer has no grads) — stop_gradient keeps parity and
+    spares the backward trace."""
+    from materialrefgs_tpu.ops import mesh_tracer as mt
+
+    if surf_depth.ndim == 2:
+        surf_depth = surf_depth[..., None]
+    rays_d, rays_o = shading.camera_rays_world(camera, unnormalized=True)
+    surf_points = rays_o[None, None, :] + surf_depth * rays_d
+    w_o = -normalize(rays_d)
+    refl_dir = normalize(reflect(w_o, normal_map))
+    hit = mt.trace(
+        mesh,
+        jax.lax.stop_gradient(surf_points),
+        jax.lax.stop_gradient(refl_dir),
+    )
+    vis = (hit["depth"] >= mt.T_FAR).astype(jnp.float32)[..., None]
+    if render_alpha is not None:
+        vis = jnp.where(render_alpha <= 0.0, 1.0, vis)
+    return vis
+
+
 def mesh_indirect_maps(
     mesh,  # ops.mesh_tracer.MeshData (built from the extracted TSDF mesh)
     camera: Camera,

@@ -224,6 +224,26 @@ def write_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray):
         f.write(fdata.tobytes())
 
 
+def read_mesh_ply(path: str):
+    """Read a triangle mesh PLY in the write_mesh_ply layout (binary-LE,
+    xyz vertices + uchar/int32 face lists). Returns (verts (V,3) f32,
+    faces (T,3) i32)."""
+    with open(path, "rb") as f:
+        n_vert = n_face = 0
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("element vertex"):
+                n_vert = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_face = int(line.split()[-1])
+            elif line == "end_header":
+                break
+        verts = np.frombuffer(f.read(n_vert * 12), dtype="<f4").reshape(n_vert, 3)
+        fdt = np.dtype([("n", "u1"), ("v", "<i4", 3)])
+        faces = np.frombuffer(f.read(n_face * fdt.itemsize), dtype=fdt)["v"]
+    return verts.copy(), faces.astype(np.int32).copy()
+
+
 def extract_mesh(
     cameras: list[Camera],
     depths: list[np.ndarray],

@@ -178,7 +178,7 @@ def make_train_step(
 
         tracer_cfg = TracerConfig()
 
-    def render_stage(model, env_gs, env1, env2, camera, bg, offset):
+    def render_stage(model, env_gs, env1, env2, camera, bg, offset, mesh=None):
         if stage == "initial":
             return render_initial(model, camera, bg, ropts, offset)
         if stage == "volume":
@@ -189,11 +189,12 @@ def make_train_step(
             from materialrefgs_tpu.render.envgs import render_surfel2
 
             return render_surfel2(
-                model, env_gs, camera, bg, mips, ropts, tracer_cfg, offset
+                model, env_gs, camera, bg, mips, ropts, tracer_cfg, offset,
+                mesh=mesh,
             )
         return render_surfel(model, camera, bg, mips, ropts, offset)
 
-    def loss_fn(params, env1, env2, env_gs_params, offset, state, camera, gt, extra, nearest_camera, nearest_gt):
+    def loss_fn(params, env1, env2, env_gs_params, offset, state, camera, gt, extra, nearest_camera, nearest_gt, mesh):
         model = state.model.replace(params=params)
         env_gs = (
             state.env_gs.replace(params=env_gs_params)
@@ -205,7 +206,9 @@ def make_train_step(
             opt, lambda_normal_render_depth=0.0
         )  # weight applied manually below (it is iteration-dependent)
 
-        pkg = render_stage(model, env_gs, env1, env2, camera, extra["bg"], offset)
+        pkg = render_stage(
+            model, env_gs, env1, env2, camera, extra["bg"], offset, mesh
+        )
 
         image_weight = None
         if not opt.wo_image_weight:
@@ -219,6 +222,10 @@ def make_train_step(
         if with_warp and stage in ("surfel", "surfel2"):
             from materialrefgs_tpu.train import warp as warp_mod
 
+            # The warp losses consume only geometry/material maps (depth,
+            # normal, base color, metallic, roughness), none of which depend
+            # on specular visibility — skip the mesh trace for the nearest
+            # view (exact, and halves the per-step trace cost).
             nearest_pkg = render_stage(
                 model, env_gs, env1, env2, nearest_camera, extra["bg"], None
             )
@@ -303,7 +310,7 @@ def make_train_step(
         }
         return loss, aux
 
-    def step(state: TrainState, camera: Camera, gt, extra, nearest_camera, nearest_gt):
+    def step(state: TrainState, camera: Camera, gt, extra, nearest_camera, nearest_gt, mesh=None):
         offset = jnp.zeros((state.model.capacity, 2), jnp.float32)
         env_gs_params = (
             state.env_gs.params if state.env_gs is not None else None
@@ -314,7 +321,7 @@ def make_train_step(
             loss_fn, argnums=argnums, has_aux=True
         )(
             state.model.params, state.env1, state.env2, env_gs_params, offset,
-            state, camera, gt, extra, nearest_camera, nearest_gt,
+            state, camera, gt, extra, nearest_camera, nearest_gt, mesh,
         )
         if diff_env_gs:
             gp, ge1, ge2, geg, goff = grads
@@ -401,6 +408,9 @@ class Trainer:
         mesh_every: int = 2000,
         with_warp: bool = False,
         tracer_cfg=None,
+        use_mesh_visibility: bool = True,  # mesh-traced specular occlusion
+        mesh_tri_capacity: int = 1 << 16,
+        mesh_resolution: int = 128,  # TSDF grid resolution
     ):
         self.opt = opt
         self.pipe = pipe
@@ -471,6 +481,15 @@ class Trainer:
         self.vis_every = vis_every
         self.mesh_dir = mesh_dir
         self.mesh_every = mesh_every
+        # Mesh-traced specular visibility (refl_utils.py:364-401: the
+        # reference rebuilds a BVH from the TSDF mesh every 2000 iters past
+        # indirect_from_iter and traces reflected rays every step). Here the
+        # extracted mesh is packed to a fixed triangle capacity (static
+        # shapes -> the jitted surfel2 step never retraces on rebuild).
+        self.use_mesh_visibility = use_mesh_visibility
+        self.mesh_tri_capacity = mesh_tri_capacity
+        self.mesh_resolution = mesh_resolution
+        self.mesh = None  # ops.mesh_tracer.MeshData | None
 
     def _step_fn(self, stage: str, warp_on: bool):
         key = (stage, warp_on)
@@ -513,6 +532,14 @@ class Trainer:
             if stage == "surfel2" and self.state.env_gs is None:
                 self._init_env_gs()
                 self._steps.clear()  # re-trace with env_gs present
+            if (
+                stage == "surfel2"
+                and self.use_mesh_visibility
+                and self.mesh is None
+            ):
+                # Reference extracts the mesh + builds the BVH right at the
+                # indirect transition (train_refnerf.py:1036-1046, :1459).
+                self._extract_mesh(iteration)
 
             # SH degree ladder (train_refnerf.py:1109-1111).
             if iteration > opt.feature_rest_from_iter and iteration % 1000 == 0:
@@ -552,8 +579,9 @@ class Trainer:
                 nearest_camera, nearest_gt = camera, gt
 
             step = self._step_fn(stage, warp_on)
+            mesh = self.mesh if stage == "surfel2" else None
             self.state, metrics = step(
-                self.state, camera, gt, extra, nearest_camera, nearest_gt
+                self.state, camera, gt, extra, nearest_camera, nearest_gt, mesh
             )
 
             # Binning overflow: pairs beyond pair_capacity are silently
@@ -569,7 +597,7 @@ class Trainer:
             if self.vis_dir and iteration % self.vis_every == 0:
                 self._save_vis(iteration, cam_id, stage)
             if (
-                self.mesh_dir
+                (self.mesh_dir or self.use_mesh_visibility)
                 and iteration >= self.opt.indirect_from_iter
                 and iteration % self.mesh_every == 0
             ):
@@ -737,7 +765,10 @@ class Trainer:
         return scores, masks
 
     def _extract_mesh(self, iteration: int):
-        """Periodic TSDF mesh artifact (train_refnerf.py:1459-1472)."""
+        """Periodic TSDF mesh extraction (train_refnerf.py:1459-1472): dump
+        the PLY artifact (if mesh_dir) and rebuild the fixed-capacity
+        MeshData used for traced specular visibility (update_mesh,
+        gaussian_model.py:1068-1071 — BVH refit in the reference)."""
         import os
 
         from materialrefgs_tpu.train import mesh_extract as me
@@ -747,8 +778,39 @@ class Trainer:
             pkg = self._render_view(i, "surfel")
             depths.append(np.asarray(pkg["surf_depth"]))
             alphas.append(np.asarray(pkg["rend_alpha"])[..., 0])
-        verts, faces = me.extract_mesh(self.cameras, depths, alphas)
-        os.makedirs(self.mesh_dir, exist_ok=True)
-        me.write_mesh_ply(
-            os.path.join(self.mesh_dir, f"test_{iteration:06d}.ply"), verts, faces
+        verts, faces = me.extract_mesh(
+            self.cameras, depths, alphas, resolution=self.mesh_resolution
+        )
+        if self.mesh_dir:
+            os.makedirs(self.mesh_dir, exist_ok=True)
+            me.write_mesh_ply(
+                os.path.join(self.mesh_dir, f"test_{iteration:06d}.ply"),
+                verts, faces,
+            )
+        if self.use_mesh_visibility:
+            self._build_mesh_data(verts, faces, iteration)
+
+    def _build_mesh_data(self, verts, faces, iteration: int):
+        from materialrefgs_tpu.ops import mesh_tracer as mt
+
+        if len(faces) > self.mesh_tri_capacity:
+            new_cap = self.mesh_tri_capacity
+            while new_cap < len(faces):
+                new_cap *= 2
+            print(
+                f"[warn] it={iteration}: extracted mesh has {len(faces)} tris; "
+                f"mesh_tri_capacity {self.mesh_tri_capacity} -> {new_cap} "
+                f"(surfel2 step will retrace)"
+            )
+            self.mesh_tri_capacity = new_cap
+        vert_cap = self.mesh_tri_capacity  # V <= ~T/2 for closed TSDF meshes
+        if len(verts) > vert_cap:
+            # Degenerate extraction (open fans); drop excess by truncating
+            # faces referencing out-of-range vertices.
+            keep = (faces < vert_cap).all(axis=1)
+            faces = faces[keep]
+            verts = verts[:vert_cap]
+        self.mesh = mt.build_mesh(
+            verts, faces,
+            pad_to=self.mesh_tri_capacity, pad_verts_to=vert_cap,
         )

@@ -66,6 +66,20 @@ def main():
     if os.path.exists(env_ply):
         env_model, _, _ = gaussian_io.load_ply(env_ply, max_sh_degree=model_params.sh_degree)
 
+    # Mesh-traced specular visibility: use the newest TSDF mesh the trainer
+    # dumped (reference eval.py loads test_{N}.ply and rebuilds the BVH).
+    mesh = None
+    mesh_dir = os.path.join(args.model_path, "meshes")
+    if env_model is not None and os.path.isdir(mesh_dir):
+        plys = sorted(p for p in os.listdir(mesh_dir) if p.endswith(".ply"))
+        if plys:
+            from materialrefgs_tpu.ops import mesh_tracer as mt
+            from materialrefgs_tpu.train.mesh_extract import read_mesh_ply
+
+            verts, faces = read_mesh_ply(os.path.join(mesh_dir, plys[-1]))
+            mesh = mt.build_mesh(verts, faces)
+            print(f"Mesh visibility: {plys[-1]} ({len(faces)} tris)")
+
     opts = RenderOptions(
         srgb=opt.srgb, unbiased_depth=pipe.unbiased_depth, raster=RasterizeConfig()
     )
@@ -75,7 +89,7 @@ def main():
         images = [scene.test_image(i) for i in range(len(scene.test_cameras))]
         m = render_set(
             out_dir, "test", scene.test_cameras, images, model, mips, env_model,
-            opts, bg_color=bg,
+            opts, bg_color=bg, mesh=mesh,
         )
         write_metrics(out_dir, m)
         print("test:", {k: v for k, v in m.items() if k != "per_view_psnr"})
@@ -83,7 +97,7 @@ def main():
         images = [scene.train_image(i) for i in range(len(scene.train_cameras))]
         m = render_set(
             out_dir, "train", scene.train_cameras, images, model, mips, env_model,
-            opts, bg_color=bg,
+            opts, bg_color=bg, mesh=mesh,
         )
         print("train:", {k: v for k, v in m.items() if k != "per_view_psnr"})
 

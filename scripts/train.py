@@ -45,6 +45,13 @@ def main():
                     help="dir of precomputed reflection-score PNGs "
                          "(train_refreal.py:177-185); 'auto' mines them "
                          "in-process at ref_score_start_iter")
+    ap.add_argument("--no_mesh_visibility", action="store_true",
+                    help="disable mesh-traced specular visibility past "
+                         "indirect_from_iter (falls back to splat-traced "
+                         "soft visibility)")
+    ap.add_argument("--mesh_every", type=int, default=2000,
+                    help="TSDF mesh re-extraction interval past "
+                         "indirect_from_iter (train_refnerf.py:1459)")
     args = ap.parse_args()
 
     from materialrefgs_tpu import config as cfg
@@ -143,6 +150,9 @@ def main():
         nearest_ids=scene.nearest_ids,
         with_warp=(opt.multi_view_ncc_weight > 0),
         tracer_cfg=TracerConfig(pair_capacity=args.pair_capacity),
+        mesh_dir=os.path.join(args.model_path, "meshes"),
+        mesh_every=args.mesh_every,
+        use_mesh_visibility=not args.no_mesh_visibility,
     )
 
     os.makedirs(args.model_path, exist_ok=True)
@@ -212,6 +222,7 @@ def main():
                 dump_maps=False,
                 bg_color=bg,
                 stage="initial" if stage == "initial" else "surfel",
+                mesh=trainer.mesh if stage == "surfel2" else None,
             )
             logger.test_psnr(target, m["psnr"])
             print(f"[{target}] test psnr {m['psnr']:.2f}")

@@ -1,0 +1,144 @@
+"""Mesh-traced specular visibility in the live render + train paths.
+
+Reference contract (utils/refl_utils.py:364-401): past indirect_from_iter the
+deferred specular term is env(refl,rough)*vis + (1-vis)*indirect with
+vis = (mesh trace depth >= 10). Here render_surfel2(mesh=...) supplies that
+visibility from the TPU mesh tracer, and the Trainer rebuilds the MeshData
+every mesh_every iterations from the TSDF extraction.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from materialrefgs_tpu.cameras import look_at_camera
+from materialrefgs_tpu.models import gaussian_model as gm
+from materialrefgs_tpu.models.env_light import EnvLightMips, EnvLightParams
+from materialrefgs_tpu.ops import mesh_tracer as mt
+from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
+from materialrefgs_tpu.ops.tracer.api import TracerConfig
+from materialrefgs_tpu.render.envgs import render_surfel2
+from materialrefgs_tpu.render.renderers import RenderOptions
+
+pytestmark = pytest.mark.slow
+
+OPTS = RenderOptions(raster=RasterizeConfig(pair_capacity=1 << 12, interpret=True))
+TCFG = TracerConfig(
+    pair_capacity=1 << 12, cluster_pair_capacity=1 << 9, interpret=True
+)
+
+
+def _cube_mesh(half: float):
+    """Closed cube centered at the origin (12 tris), faces inward-visible."""
+    s = half
+    v = np.array(
+        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+        np.float32,
+    )
+    f = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # x = -s
+            [4, 7, 5], [4, 6, 7],  # x = +s
+            [0, 5, 1], [0, 4, 5],  # y = -s
+            [2, 3, 7], [2, 7, 6],  # y = +s
+            [0, 2, 6], [0, 6, 4],  # z = -s
+            [1, 5, 7], [1, 7, 3],  # z = +s
+        ],
+        np.int32,
+    )
+    return v, f
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(32, 3)).astype(np.float32) * 0.5
+    cols = rng.uniform(size=(32, 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=64)
+    env_pts = rng.normal(size=(32, 3)).astype(np.float32) * 2.0
+    env_cols = rng.uniform(size=(32, 3)).astype(np.float32)
+    env_model = gm.create_from_points(env_pts, env_cols, capacity=64)
+    cam = look_at_camera(
+        np.array([0.0, 0.0, -4.0]), np.zeros(3), np.array([0.0, 1.0, 0.0]),
+        0.9, 0.9, 32, 32,
+    )
+    env = EnvLightParams.create(res=16)
+    mips = EnvLightMips.build(env, min_res=8, n_samples=4)
+    return model, env_model, cam, mips
+
+
+def test_enclosing_mesh_zeroes_visibility(setup):
+    """Inside a closed cube every reflected ray hits within t_far: vis=0 on
+    covered pixels, and masked direct light shrinks the specular term."""
+    model, env_model, cam, mips = setup
+    cube = mt.build_mesh(*_cube_mesh(3.0))
+    empty = mt.build_mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+
+    out_cube = render_surfel2(
+        model, env_model, cam, jnp.zeros(3), mips, OPTS, TCFG, mesh=cube
+    )
+    out_empty = render_surfel2(
+        model, env_model, cam, jnp.zeros(3), mips, OPTS, TCFG, mesh=empty
+    )
+
+    alpha = np.asarray(out_cube["rend_alpha"])[..., 0]
+    vis_cube = np.asarray(out_cube["visibility"])[..., 0]
+    vis_empty = np.asarray(out_empty["visibility"])[..., 0]
+    covered = alpha > 0.5
+    assert covered.any()
+    # Hard binary visibility (depth>=T_FAR test), not a soft splat trace.
+    assert np.all((vis_cube == 0.0) | (vis_cube == 1.0))
+    assert np.all(vis_cube[covered] == 0.0)
+    # Empty mesh: every ray misses -> fully visible.
+    assert np.all(vis_empty == 1.0)
+    # Occlusion can only remove direct env light from the specular term.
+    spec_cube = np.asarray(out_cube["specular_map"])
+    spec_empty = np.asarray(out_empty["specular_map"])
+    assert float(spec_cube[covered].sum()) < float(spec_empty[covered].sum())
+    assert np.all(np.isfinite(np.asarray(out_cube["render"])))
+
+
+def test_trainer_builds_and_uses_mesh(rng):
+    """Crossing indirect_from_iter must extract a mesh, build fixed-capacity
+    MeshData, and feed it to the surfel2 step without retracing errors."""
+    from tests.test_trainer_e2e import synthetic_scene
+    from materialrefgs_tpu.config import OptimizationParams, PipelineParams
+    from materialrefgs_tpu.train.trainer import Trainer
+
+    cams, images, gt_means = synthetic_scene(rng, n_cams=3, W=24, H=24, P=32)
+    pts = gt_means + rng.normal(size=gt_means.shape).astype(np.float32) * 0.05
+    cols = rng.uniform(size=(len(pts), 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=64)
+
+    opt = dataclasses.replace(
+        OptimizationParams(),
+        use_perceptual_loss=False,
+        initial=0,
+        init_until_iter=0,
+        volume_render_until_iter=0,
+        indirect_from_iter=2,  # surfel2 from iteration 3
+        densify_from_iter=10_000,
+        feature_rest_from_iter=100_000,
+        lambda_normal_render_depth=0.0,
+        lambda_dist=0.0,
+    )
+    trainer = Trainer(
+        model,
+        cams,
+        images,
+        opt,
+        PipelineParams(),
+        cameras_extent=3.0,
+        raster_cfg=RasterizeConfig(pair_capacity=1 << 12, interpret=True),
+        envmap_res=16,
+        tracer_cfg=TCFG,
+        use_mesh_visibility=True,
+        mesh_tri_capacity=1 << 11,
+        mesh_resolution=24,
+    )
+    trainer.train(4, log_every=1)
+    assert trainer.mesh is not None
+    assert trainer.mesh.n_tris == 1 << 11  # padded to capacity
+    last = trainer.metrics_log[-1]
+    assert np.isfinite(last["loss"])
