@@ -41,9 +41,70 @@ class RasterizeConfig:
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU tests)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _permute(x, order, inv_order):
+    return x[order]
+
+
+def _permute_fwd(x, order, inv_order):
+    return x[order], inv_order
+
+
+def _permute_bwd(inv_order, g):
+    # VJP of a permutation gather is the inverse-permutation GATHER. XLA's
+    # default transpose (scatter) costs ~70 ns/index on TPU — 10+ ms per
+    # P-sized tensor tree — while this gather is bandwidth-bound (<1 ms).
+    return g[inv_order], None, None
+
+
+_permute.defvjp(_permute_fwd, _permute_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pair_payload(S, interpret, payload_g, bins):
+    """Per-slot payload columns (C_PAD, B) via ONE bandwidth-bound row gather
+    from the small (C_PAD, P) per-gaussian table, indexed by the composed
+    slot -> gaussian map. The custom VJP reduces per-slot payload gradients
+    back per-gaussian with a single XLA scatter-add keyed by the same map
+    (the CUDA atomicAdd analog, backward.cu:446-468); measured ~17 ns/index
+    on v5e — cheaper than any sort/segment recombination of the slot grads."""
+    B = bins.pair_valid.shape[0]
+    gid = bins.g_sorted[jnp.minimum(bins.pair_src, B - 1)]
+    gid = jnp.where(bins.pair_valid, gid, payload_g.shape[1])
+    return jnp.where(
+        bins.pair_valid[None, :],
+        payload_g[:, jnp.minimum(gid, payload_g.shape[1] - 1)],
+        0.0,
+    )
+
+
+def _pair_payload_fwd(S, interpret, payload_g, bins):
+    B = bins.pair_valid.shape[0]
+    P = payload_g.shape[1]
+    gid = bins.g_sorted[jnp.minimum(bins.pair_src, B - 1)]
+    gid = jnp.where(bins.pair_valid, gid, P)  # sentinel P drops in bwd
+    pp = jnp.where(
+        bins.pair_valid[None, :], payload_g[:, jnp.minimum(gid, P - 1)], 0.0
+    )
+    return pp, (gid, P)
+
+
+def _pair_payload_bwd(S, interpret, res, d):
+    gid, P = res
+    # Slots the bwd kernel never wrote (padding chunks past each tile's
+    # count, or tiles skipped entirely) may hold HBM garbage, but their gid
+    # is the out-of-range sentinel P, so mode="drop" discards them.
+    dpg = jnp.zeros((d.shape[0], P), d.dtype).at[:, gid].add(d, mode="drop")
+    return dpg, None
+
+
+_pair_payload.defvjp(_pair_payload_fwd, _pair_payload_bwd)
+
+
 def _build_payload(pre: PreprocessOut, opacities, colors, features, S: int):
     """(C_PAD, P) per-gaussian payload columns (already depth-sorted)."""
     C_PAD = payload_channels_padded(S)
+    P = opacities.shape[0]
     cols = [
         pre.T_rows[:, 0, :],  # Tu (P,3)
         pre.T_rows[:, 1, :],
@@ -189,20 +250,29 @@ def rasterize(
 
     # Depth sort over gaussians (stable, matches CUDA radix tie behavior).
     order = jnp.argsort(pre.depth, stable=True)
-    pre_s = jax.tree_util.tree_map(lambda a: a[order], pre)
-    opac_s = opacities[order]
-    colors_s = colors[order]
-    feats_s = features[order]
+    inv_order = jnp.argsort(order)  # rank of each gaussian in depth order
+
+    def sort_by_depth(a):
+        # Integer/bool fields have no tangents; plain gather avoids pushing
+        # float0 cotangents through the custom permute VJP.
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            return a[order]
+        return _permute(a, order, inv_order)
+
+    pre_s = jax.tree_util.tree_map(sort_by_depth, pre)
+    opac_s = _permute(opacities, order, inv_order)
+    colors_s = _permute(colors, order, inv_order)
+    feats_s = _permute(features, order, inv_order)
 
     bins = binning.bin_pairs(pre_s, grid_x, grid_y, config.pair_capacity)
 
     payload_g = _build_payload(pre_s, opac_s, colors_s, feats_s, S)  # (C, P)
-    gauss_idx = jnp.where(bins.pair_valid, bins.pair_gauss, 0)
-    payload_pairs = jnp.where(
-        bins.pair_valid[None, :], payload_g[:, gauss_idx], 0.0
-    )  # (C, B); padding columns zeroed (also kills their bwd grads)
+    payload_pairs = _pair_payload(S, config.interpret, payload_g, bins)
+    # 2*K_CHUNK zero columns past B: tile ranges may end K-1 short of a chunk
+    # boundary (1st chunk), and the kernels' double-buffered DMA prefetches
+    # one chunk ahead of the last (2nd chunk).
     payload_pairs = jnp.concatenate(
-        [payload_pairs, jnp.zeros((payload_pairs.shape[0], K_CHUNK), payload_pairs.dtype)],
+        [payload_pairs, jnp.zeros((payload_pairs.shape[0], 2 * K_CHUNK), payload_pairs.dtype)],
         axis=1,
     )
 

@@ -28,8 +28,9 @@ from materialrefgs_tpu.ops.rasterize.preprocess import PreprocessOut
 
 
 class BinningOut(NamedTuple):
-    pair_gauss: jax.Array  # (B,) int32 index into depth-sorted gaussians
+    pair_src: jax.Array  # (B,) int32 SORTED-pair index per padded slot
     pair_valid: jax.Array  # (B,) bool — False for padding slots
+    g_sorted: jax.Array  # (B,) int32 gaussian id per sorted pair
     tile_start: jax.Array  # (T+1,) int32 K_CHUNK-aligned start offsets
     tile_count: jax.Array  # (T,) int32 valid pairs per tile (<= range size)
     num_pairs: jax.Array  # () int32 valid pairs kept
@@ -50,6 +51,17 @@ def _broadcast_to_segments(values, seg_starts, B):
     return jnp.cumsum(marks)
 
 
+def _broadcast_to_segments_multi(values, seg_starts, B):
+    """(M, S) variant of _broadcast_to_segments -> (M, B). TPU scatter cost
+    is ~70 ns per INDEX (channels ride along), so M broadcasts sharing one
+    index vector collapse into a single scatter + one lane-major cumsum."""
+    M = values.shape[0]
+    deltas = jnp.diff(values, axis=1, prepend=jnp.zeros((M, 1), values.dtype))
+    idx = jnp.where(seg_starts < B, seg_starts, B)
+    marks = jnp.zeros((M, B), values.dtype).at[:, idx].add(deltas, mode="drop")
+    return jnp.cumsum(marks, axis=1)
+
+
 def bin_pairs(
     pre: PreprocessOut, grid_x: int, grid_y: int, pair_capacity: int
 ) -> BinningOut:
@@ -66,22 +78,23 @@ def bin_pairs(
     k = jnp.arange(B, dtype=jnp.int32)
     # Pair k -> owning gaussian and its per-gaussian attributes, all via
     # delta-scatter + cumsum over the (gaussian-major, hence sorted) pair
-    # list — no per-pair random gathers.
+    # list — no per-pair random gathers. The three per-pair fields (gaussian
+    # id, segment offset, packed rect) share one scatter.
     P = counts_g.shape[0]
     gauss_ids = jnp.arange(P, dtype=jnp.int32)
-    g = _broadcast_to_segments(gauss_ids, offsets, B)
-    off_p = _broadcast_to_segments(offsets, offsets, B)
     # Pack (rect_min_x, rect_min_y, rect_w) into one word so the three
-    # per-gaussian rect fields ride a single segment broadcast (each
-    # broadcast is a full scatter+cumsum over B — the dominant binning
-    # cost). 10 bits per field supports grids up to 1023 tiles per side
-    # (16k px); deltas of packed non-negative fields stay exact in int32.
+    # per-gaussian rect fields ride a single segment-broadcast channel.
+    # 10 bits per field supports grids up to 1023 tiles per side (16k px);
+    # deltas of packed non-negative fields stay exact in int32.
     rmx = pre.rect_min[:, 0].astype(jnp.int32)
     rmy = pre.rect_min[:, 1].astype(jnp.int32)
     rw = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1).astype(jnp.int32)
     assert grid_x < 1024 and grid_y < 1024, "tile grid exceeds 10-bit packing"
     packed = rmx | (rmy << 10) | (rw << 20)
-    packed_p = _broadcast_to_segments(packed, offsets, B)
+    bcast = _broadcast_to_segments_multi(
+        jnp.stack([gauss_ids, offsets, packed]), offsets, B
+    )
+    g, off_p, packed_p = bcast[0], bcast[1], bcast[2]
     rmx_p = packed_p & 0x3FF
     rmy_p = (packed_p >> 10) & 0x3FF
     rw_p = packed_p >> 20
@@ -94,7 +107,7 @@ def bin_pairs(
     tile = jnp.where(raw_valid, tile, num_tiles).astype(jnp.int32)
 
     # Stable sort by tile keeps depth order within each tile; carry the
-    # gaussian id through the sort (cheaper than post-gathers).
+    # gaussian id (payload gather key) through the sort.
     g_masked = jnp.where(raw_valid, g, 0).astype(jnp.int32)
     tile_sorted, g_sorted = jax.lax.sort(
         (tile, g_masked), is_stable=True, num_keys=1
@@ -114,26 +127,27 @@ def bin_pairs(
     tile_start = jnp.minimum(padded_start, B)
     tile_count = jnp.minimum(counts, tile_start[1:] - tile_start[:-1]).astype(jnp.int32)
 
-    # Destination slot per sorted pair. pos = tile_start[t] + (k -
-    # raw_start[t]) = k + shift[t], and the keep test rank < tile_count[t]
-    # is pos < end[t] — two segment broadcasts instead of three.
-    shift_p = _broadcast_to_segments(tile_start[:-1] - raw_start[:-1], raw_start[:-1], B)
-    end_p = _broadcast_to_segments(tile_start[:-1] + tile_count, raw_start[:-1], B)
-    pos = k + shift_p
-    keep = (tile_sorted < num_tiles) & (pos < end_p)
-    pos = jnp.where(keep, pos, B)  # dropped slots scatter out of bounds
-
-    # One fused scatter: store g+1 so 0 doubles as the invalid sentinel.
-    packed_out = jnp.zeros(B, jnp.int32).at[pos].set(
-        jnp.where(keep, g_sorted + 1, 0), mode="drop"
+    # The padded slot layout is built WITHOUT any B-sized scatter (a TPU
+    # scatter costs ~70 ns/index — ~10 ms here). Both directions of the
+    # slot <-> sorted-pair mapping are piecewise-linear in the segment
+    # structure, so two multi-channel segment broadcasts express them:
+    #   slot s (segments = tile_start):  src(s)  = s - shift[t(s)],
+    #                                    valid   = s < tile_start[t] + count[t]
+    #   sorted i (segments = raw_start): slot(i) = i + shift[t(i)],
+    #                                    kept    = i < raw_start[t] + count[t]
+    shift = tile_start[:-1] - raw_start[:-1]
+    se = _broadcast_to_segments_multi(
+        jnp.stack([shift, tile_start[:-1] + tile_count]), tile_start[:-1], B
     )
-    pair_gauss = jnp.maximum(packed_out - 1, 0)
-    pair_valid = packed_out > 0
+    slot_shift, slot_lim = se[0], se[1]
+    pair_valid = k < slot_lim
+    pair_src_sorted = jnp.clip(jnp.where(pair_valid, k - slot_shift, 0), 0, B - 1)
 
     num_kept = jnp.sum(tile_count)
     return BinningOut(
-        pair_gauss=pair_gauss,
+        pair_src=pair_src_sorted,
         pair_valid=pair_valid,
+        g_sorted=g_sorted,
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_kept,

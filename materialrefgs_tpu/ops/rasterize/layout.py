@@ -29,8 +29,7 @@ def payload_channels(S: int) -> int:
 
 
 def payload_channels_padded(S: int) -> int:
-    c = payload_channels(S)
-    return ((c + 7) // 8) * 8
+    return ((payload_channels(S) + 7) // 8) * 8
 
 
 # Output channel offsets within the (num_tiles, 256, C_OUT) forward output.

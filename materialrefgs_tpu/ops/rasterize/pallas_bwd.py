@@ -53,6 +53,8 @@ from materialrefgs_tpu.ops.rasterize.preprocess import (
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
+from materialrefgs_tpu.ops.rasterize.pallas_fwd import MM_PRECISION  # noqa: E402
+
 
 def _tril_strict(K: int) -> jax.Array:
     """M[j, i] = 1 if j > i: x @ M gives exclusive suffix sums along lanes."""
@@ -133,20 +135,52 @@ def _bwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     gamma = FAR_N / (FAR_N - NEAR_N)
 
+    # Pairs past the last contributor still belong to the tile's valid range
+    # (the caller segment-sums them), so their grad rows must be written as
+    # zeros — HBM garbage would corrupt per-gaussian gradients.
+    grad_vmem[0] = jnp.zeros((C_PAD, K), jnp.float32)
+
+    def zero_body(it, x):
+        off = pl.multiple_of(start + (active_chunks + it) * K, K)
+        cp = pltpu.make_async_copy(
+            grad_vmem.at[0], dpayload_hbm.at[:, pl.ds(off, K)], sem_out.at[0]
+        )
+        cp.start()
+        cp.wait()
+        return x
+
+    jax.lax.fori_loop(0, n_chunks - active_chunks, zero_body, 0)
+
+    def start_in(chunk_i):
+        # Prefetch of "chunk -1" (last iteration) clamps its offset to chunk 0
+        # but keeps the unclamped index's slot parity, so it never lands in
+        # the slot the current iteration is reading.
+        slot = jax.lax.rem(chunk_i + 2, 2)
+        ci = jnp.maximum(chunk_i, 0)
+        off = pl.multiple_of(start + ci * K, K)
+        pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem_in.at[slot]
+        ).start()
+
+    @pl.when(active_chunks > 0)
+    def _():
+        start_in(active_chunks - 1)
+
     def body(it, carry):
         carry_gw, carry_lg = carry  # (256,1) each
-        chunk_i = n_chunks - 1 - it
+        chunk_i = active_chunks - 1 - it
         off = pl.multiple_of(start + chunk_i * K, K)
 
-        is_active = chunk_i < active_chunks
-
         def compute(carry_gw, carry_lg):
-            cp = pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(off, K)], chunk_vmem, sem_in
-            )
-            cp.start()
-            cp.wait()
-            pay = chunk_vmem[:]
+            # Double-buffered in-DMA: wait for this chunk's copy, prefetch
+            # the next (back-to-front, so chunk_i - 1) into the other slot.
+            slot = jax.lax.rem(chunk_i, 2)
+            pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot],
+                sem_in.at[slot],
+            ).wait()
+            start_in(chunk_i - 1)
+            pay = chunk_vmem[slot]
             tu_x, tu_y, tu_z = (pay[ROW_TU + i, :][None, :] for i in range(3))
             tv_x, tv_y, tv_z = (pay[ROW_TV + i, :][None, :] for i in range(3))
             tw_x, tw_y, tw_z = (pay[ROW_TW + i, :][None, :] for i in range(3))
@@ -197,7 +231,7 @@ def _bwd_kernel(
             lg = jnp.log1p(-a)
             suf_incl = carry_lg + jax.lax.dot_general(
                 lg, tril_i, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32, precision=MM_PRECISION,
             )
             T_i = jnp.exp(logT_fin - suf_incl)
             w = a * T_i
@@ -209,7 +243,7 @@ def _bwd_kernel(
             lin = pay[ROW_LIN : ROW_LIN + ACC, :]  # (ACC, K)
             G = jax.lax.dot_general(
                 dLin, lin, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32, precision=MM_PRECISION,
             )  # (256, K)
             G = G + depth_px * dD + m * dM1 + (m * m) * dM2
             G = G + (M2_tot + m * m * A_tot - 2.0 * m * M1_tot) * dReg
@@ -217,7 +251,7 @@ def _bwd_kernel(
             gw = G * w
             suf_gw = carry_gw + jax.lax.dot_general(
                 gw, tril_s, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32, precision=MM_PRECISION,
             )
             one_m = jnp.where(ok, 1.0 - a, 1.0)
             dalpha = T_i * G - suf_gw / one_m - (final_T / one_m) * dTfin
@@ -274,7 +308,7 @@ def _bwd_kernel(
             head = jnp.concatenate(rows, axis=0)  # (12, K)
             dlin = jax.lax.dot_general(
                 dLin, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32, precision=MM_PRECISION,
             )  # (ACC, K)
             grad = jnp.concatenate([head, dlin], axis=0)
             pad = C_PAD - grad.shape[0]
@@ -282,29 +316,53 @@ def _bwd_kernel(
                 grad = jnp.concatenate(
                     [grad, jnp.zeros((pad, K), jnp.float32)], axis=0
                 )
-            grad_vmem[:] = grad
+
+            # Double-buffered out-DMA: before overwriting this grad slot,
+            # wait for the copy started two iterations ago from it.
+            gslot = jax.lax.rem(chunk_i, 2)
+
+            @pl.when(it >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    grad_vmem.at[gslot], dpayload_hbm.at[:, pl.ds(off, K)],
+                    sem_out.at[gslot],
+                ).wait()
+
+            grad_vmem[gslot] = grad
+            pltpu.make_async_copy(
+                grad_vmem.at[gslot], dpayload_hbm.at[:, pl.ds(off, K)],
+                sem_out.at[gslot],
+            ).start()
 
             new_gw = carry_gw + jnp.sum(gw, axis=1, keepdims=True)
             new_lg = carry_lg + jnp.sum(lg, axis=1, keepdims=True)
             return new_gw, new_lg
 
-        def skip(carry_gw, carry_lg):
-            grad_vmem[:] = jnp.zeros((C_PAD, K), jnp.float32)
-            return carry_gw, carry_lg
-
-        carry_gw, carry_lg = jax.lax.cond(
-            is_active, compute, skip, carry_gw, carry_lg
-        )
-
-        cpo = pltpu.make_async_copy(
-            grad_vmem, dpayload_hbm.at[:, pl.ds(off, K)], sem_out
-        )
-        cpo.start()
-        cpo.wait()
-        return carry_gw, carry_lg
+        return compute(carry_gw, carry_lg)
 
     zeros1 = jnp.zeros((PIX, 1), jnp.float32)
-    jax.lax.fori_loop(0, n_chunks, body, (zeros1, zeros1))
+    jax.lax.fori_loop(0, active_chunks, body, (zeros1, zeros1))
+
+    # Drain: one in-prefetch (always lands in slot 1: the last body prefetched
+    # "chunk -1" with slot parity of index -1) and the last one or two
+    # out-copies are still in flight.
+    @pl.when(active_chunks > 0)
+    def _():
+        pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(pl.multiple_of(start, K), K)],
+            chunk_vmem.at[1], sem_in.at[1],
+        ).wait()
+        off0 = pl.multiple_of(start, K)
+        pltpu.make_async_copy(
+            grad_vmem.at[0], dpayload_hbm.at[:, pl.ds(off0, K)], sem_out.at[0]
+        ).wait()
+
+    @pl.when(active_chunks > 1)
+    def _():
+        off1 = pl.multiple_of(start + K, K)
+        pltpu.make_async_copy(
+            grad_vmem.at[1], dpayload_hbm.at[:, pl.ds(off1, K)], sem_out.at[1]
+        ).wait()
 
 
 def rasterize_tiles_bwd(
@@ -344,10 +402,10 @@ def rasterize_tiles_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C_PAD, K_CHUNK), jnp.float32),
-            pltpu.VMEM((C_PAD, K_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C_PAD, K_CHUNK), jnp.float32),
+            pltpu.VMEM((2, C_PAD, K_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -52,6 +52,14 @@ from materialrefgs_tpu.ops.rasterize.preprocess import (
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
+# Measured on TPU v5e: these (256,128)@(128,128) dots are pipeline-bound,
+# not MXU-throughput-bound — DEFAULT (1-pass bf16, rel err 2.4e-3) is NOT
+# faster than HIGHEST (6-pass f32, rel err 2.2e-5), so full precision is
+# free. Keep HIGHEST: the log-transmittance prefix feeds exp() and pixel
+# colors directly, and round-1 showed bf16 matmul corruption degrades
+# training. (Mosaic does not lower Precision.HIGH.)
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _tri_strict(K: int) -> jax.Array:
     """M[j, i] = 1 if j < i: w @ M gives exclusive prefix sums along lanes."""
@@ -105,6 +113,20 @@ def _fwd_kernel(
     m_incl = _tri_incl(K)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
+    def start_copy(chunk_i):
+        # Safe for chunk_i == n_chunks: the payload is padded with 2*K zero
+        # columns past B (api.rasterize), so the one-ahead prefetch of the
+        # last iteration stays in bounds.
+        off = pl.multiple_of(start + chunk_i * K, K)
+        slot = jax.lax.rem(chunk_i, 2)
+        pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem.at[slot]
+        ).start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_copy(0)
+
     def body(carry):
         (
             chunk_i,
@@ -123,15 +145,17 @@ def _fwd_kernel(
             final_logT,
         ) = carry
 
-        # DMA the chunk's payload columns (C_PAD, K) into VMEM.
+        # Double-buffered DMA: wait for this chunk's copy (started one
+        # iteration ago), then immediately prefetch the next chunk into the
+        # other slot so the copy overlaps this chunk's math.
         off = pl.multiple_of(start + chunk_i * K, K)
-        cp = pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(off, K)], chunk_vmem, sem
-        )
-        cp.start()
-        cp.wait()
+        slot = jax.lax.rem(chunk_i, 2)
+        pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem.at[slot]
+        ).wait()
+        start_copy(chunk_i + 1)
 
-        pay = chunk_vmem[:]  # (C_PAD, K)
+        pay = chunk_vmem[slot]  # (C_PAD, K)
         tu_x, tu_y, tu_z = (pay[ROW_TU + i, :][None, :] for i in range(3))
         tv_x, tv_y, tv_z = (pay[ROW_TV + i, :][None, :] for i in range(3))
         tw_x, tw_y, tw_z = (pay[ROW_TW + i, :][None, :] for i in range(3))
@@ -177,11 +201,11 @@ def _fwd_kernel(
         lg = jnp.log1p(-a)
         logT_excl = logT + jax.lax.dot_general(
             lg, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )
         logT_incl = logT + jax.lax.dot_general(
             lg, m_incl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )
         included = logT_incl >= LOG_T_STOP
         w = a * jnp.exp(logT_excl) * included.astype(jnp.float32)
@@ -190,7 +214,7 @@ def _fwd_kernel(
         lin = pay[ROW_LIN : ROW_LIN + ACC, :]  # (ACC, K)
         acc = acc + jax.lax.dot_general(
             w, lin, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )
 
         depth_safe = jnp.where(ok, depth_px, 1.0)
@@ -202,15 +226,15 @@ def _fwd_kernel(
         # Distortion (forward.cu:407-415): exclusive prefixes + carries.
         A_excl = w_sum + jax.lax.dot_general(
             w, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )
         M1_excl = wm_sum + jax.lax.dot_general(
             wm, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )
         M2_excl = wm2_sum + jax.lax.dot_general(
             wm2, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )
         dist_acc = dist_acc + jnp.sum(
             w * (m_ndc * m_ndc * A_excl + M2_excl - 2.0 * m_ndc * M1_excl),
@@ -295,6 +319,19 @@ def _fwd_kernel(
         jnp.where(inside, 0.0, 0.0),  # final_logT
     )
     carry = jax.lax.while_loop(cond, body, init)
+
+    # Drain the one outstanding prefetch (each body waits chunk i and starts
+    # chunk i+1, so exactly one copy is in flight at exit, incl. early exit).
+    exit_chunk = carry[0]
+
+    @pl.when(n_chunks > 0)
+    def _():
+        slot = jax.lax.rem(exit_chunk, 2)
+        off = pl.multiple_of(start + exit_chunk * K, K)
+        pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem.at[slot]
+        ).wait()
+
     (
         _,
         _,
@@ -360,8 +397,8 @@ def rasterize_tiles_fwd(
             (1, PIX, C_OUT), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((C_PAD, K_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C_PAD, K_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

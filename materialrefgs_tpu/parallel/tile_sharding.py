@@ -23,7 +23,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from materialrefgs_tpu.cameras import Camera
 from materialrefgs_tpu.ops.rasterize import binning
-from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig, _build_payload, _render_core, _unpack
+from materialrefgs_tpu.ops.rasterize.api import (
+    RasterizeConfig,
+    _build_payload,
+    _pair_payload,
+    _render_core,
+    _unpack,
+)
 from materialrefgs_tpu.ops.rasterize.layout import K_CHUNK, TILE
 from materialrefgs_tpu.ops.rasterize.preprocess import preprocess
 
@@ -86,10 +92,9 @@ def rasterize_tile_sharded(
         payload_g = _build_payload(
             pre_s, opacities[order], colors[order], features[order], S
         )
-        gidx = jnp.where(bins.pair_valid, bins.pair_gauss, 0)
-        payload_pairs = jnp.where(bins.pair_valid[None, :], payload_g[:, gidx], 0.0)
+        payload_pairs = _pair_payload(S, config.interpret, payload_g, bins)
         payload_pairs = jnp.concatenate(
-            [payload_pairs, jnp.zeros((payload_pairs.shape[0], K_CHUNK))], axis=1
+            [payload_pairs, jnp.zeros((payload_pairs.shape[0], 2 * K_CHUNK))], axis=1
         )
         tiles_out = _render_core(
             S, grid_x, rows_local, W, rows_local * TILE, config.interpret,
