@@ -50,7 +50,10 @@ def main():
         H,
     )
     args = build_scene()
-    cfg = RasterizeConfig(pair_capacity=1 << 21)
+    # 1.31M pairs: the scene produces ~1.21M (gaussian, tile) pairs; the
+    # over-read layout needs no per-tile padding, so capacity tracks the
+    # real pair count (the CUDA reference likewise sizes buffers exactly).
+    cfg = RasterizeConfig(pair_capacity=(1 << 20) + (1 << 18))
     bg = jnp.zeros(3, jnp.float32)
 
     def loss_fn(*a):

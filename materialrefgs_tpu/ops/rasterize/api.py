@@ -4,13 +4,16 @@ Pipeline (TPU-native redesign of rasterize_points.cu + rasterizer_impl.cu):
   1. preprocess (pure jnp, vmapped over P)      — cull, transmat, AABB
   2. depth argsort over gaussians (P)           — replaces radix depth keys
   3. pair expansion + stable tile sort (B)      — replaces duplicateWithKeys
-  4. payload gather (C, B)                      — replaces per-thread fetches
-  5. Pallas tile kernel fwd (+ custom VJP bwd)  — replaces renderCUDA fwd/bwd
-  6. unpack per-tile outputs to (H, W, *) maps
+  4. _render_pairs custom VJP                   — gather + Pallas tile kernels
+  5. unpack per-tile outputs to (H, W, *) maps
 
-Gradients flow through steps 1/4/6 by ordinary autodiff; step 5's custom VJP
-(pallas_bwd) yields per-pair payload gradients, and the transpose of the
-step-4 gather performs the per-gaussian reduction (replacing CUDA atomics).
+Step 4 keeps the payload gather and the kernels under ONE custom-VJP
+boundary: forward is a single row gather from the (C, P) table (tile ranges
+are raw; kernels over-read the enclosing 128-aligned window and mask), and
+backward reduces the kernel's chunk-major per-pair gradients per-gaussian
+with one XLA scatter-add keyed by the gid row the kernel stamps (replacing
+CUDA atomics, backward.cu:446-468). No padded slot layout, slot<->sorted
+indirection, or B-sized binning scatter exists anywhere.
 """
 from __future__ import annotations
 
@@ -60,49 +63,25 @@ def _permute_bwd(inv_order, g):
 _permute.defvjp(_permute_fwd, _permute_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _pair_payload(S, interpret, payload_g, bins):
-    """Per-slot payload columns (C_PAD, B) via ONE bandwidth-bound row gather
-    from the small (C_PAD, P) per-gaussian table, indexed by the composed
-    slot -> gaussian map. The custom VJP reduces per-slot payload gradients
-    back per-gaussian with a single XLA scatter-add keyed by the same map
-    (the CUDA atomicAdd analog, backward.cu:446-468); measured ~17 ns/index
-    on v5e — cheaper than any sort/segment recombination of the slot grads."""
-    B = bins.pair_valid.shape[0]
-    gid = bins.g_sorted[jnp.minimum(bins.pair_src, B - 1)]
-    gid = jnp.where(bins.pair_valid, gid, payload_g.shape[1])
-    return jnp.where(
-        bins.pair_valid[None, :],
-        payload_g[:, jnp.minimum(gid, payload_g.shape[1] - 1)],
-        0.0,
+def _gather_pairs(payload_g, bins):
+    """(C_PAD, B + 2K) sorted-pair payload columns via ONE bandwidth-bound
+    row gather from the small (C_PAD, P) per-gaussian table. Invalid pairs
+    (tile sentinel, sorted to the end) point at column 0; no tile range ever
+    covers them, so they need no masking. The 2*K_CHUNK zero columns let the
+    kernels' one-ahead DMA prefetch of the last over-read window stay in
+    bounds."""
+    pp = payload_g[:, bins.g_sorted]
+    return jnp.concatenate(
+        [pp, jnp.zeros((pp.shape[0], 2 * K_CHUNK), pp.dtype)], axis=1
     )
-
-
-def _pair_payload_fwd(S, interpret, payload_g, bins):
-    B = bins.pair_valid.shape[0]
-    P = payload_g.shape[1]
-    gid = bins.g_sorted[jnp.minimum(bins.pair_src, B - 1)]
-    gid = jnp.where(bins.pair_valid, gid, P)  # sentinel P drops in bwd
-    pp = jnp.where(
-        bins.pair_valid[None, :], payload_g[:, jnp.minimum(gid, P - 1)], 0.0
-    )
-    return pp, (gid, P)
-
-
-def _pair_payload_bwd(S, interpret, res, d):
-    gid, P = res
-    # Slots the bwd kernel never wrote (padding chunks past each tile's
-    # count, or tiles skipped entirely) may hold HBM garbage, but their gid
-    # is the out-of-range sentinel P, so mode="drop" discards them.
-    dpg = jnp.zeros((d.shape[0], P), d.dtype).at[:, gid].add(d, mode="drop")
-    return dpg, None
-
-
-_pair_payload.defvjp(_pair_payload_fwd, _pair_payload_bwd)
 
 
 def _build_payload(pre: PreprocessOut, opacities, colors, features, S: int):
-    """(C_PAD, P) per-gaussian payload columns (already depth-sorted)."""
+    """(C_PAD, P) per-gaussian payload columns (already depth-sorted).
+
+    Row layout.row_gid(S) carries (own index + 1) as f32; it rides the pair
+    row-gather for free and lets the backward kernel key its chunk-major
+    gradient output for the caller's scatter-add."""
     C_PAD = payload_channels_padded(S)
     P = opacities.shape[0]
     cols = [
@@ -114,6 +93,7 @@ def _build_payload(pre: PreprocessOut, opacities, colors, features, S: int):
         colors,
         features,
         pre.normal,
+        jax.lax.stop_gradient(jnp.arange(1, P + 1, dtype=jnp.float32))[:, None],
     ]
     pay = jnp.concatenate(cols, axis=-1)  # (P, C)
     pad = C_PAD - pay.shape[-1]
@@ -123,11 +103,17 @@ def _build_payload(pre: PreprocessOut, opacities, colors, features, S: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _render_core(S, grid_x, grid_y, W, H, interpret, payload_pairs, tile_start, tile_count):
+def _render_pairs(S, grid_x, grid_y, W, H, interpret, payload_g, bins):
+    """Pair gather + Pallas tile kernels under ONE custom-VJP boundary, so
+    no sorted-pair cotangent is ever materialized: the backward kernel emits
+    chunk-major per-pair gradients with the owning gaussian id riding
+    row_gid, and a single XLA scatter-add (~17 ns/index on v5e, the CUDA
+    atomicAdd analog, backward.cu:446-468) reduces them per-gaussian."""
+    pp = _gather_pairs(payload_g, bins)
     return rasterize_tiles_fwd(
-        payload_pairs,
-        tile_start,
-        tile_count,
+        pp,
+        bins.tile_start,
+        bins.tile_count,
         S=S,
         grid_x=grid_x,
         grid_y=grid_y,
@@ -137,21 +123,35 @@ def _render_core(S, grid_x, grid_y, W, H, interpret, payload_pairs, tile_start, 
     )
 
 
-def _render_core_fwd(S, grid_x, grid_y, W, H, interpret, payload_pairs, tile_start, tile_count):
-    out = _render_core(S, grid_x, grid_y, W, H, interpret, payload_pairs, tile_start, tile_count)
-    return out, (payload_pairs, tile_start, tile_count, out)
+def _render_pairs_fwd(S, grid_x, grid_y, W, H, interpret, payload_g, bins):
+    pp = _gather_pairs(payload_g, bins)
+    out = rasterize_tiles_fwd(
+        pp,
+        bins.tile_start,
+        bins.tile_count,
+        S=S,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        W=W,
+        H=H,
+        interpret=interpret,
+    )
+    return out, (pp, bins, out, payload_g.shape[1])
 
 
-def _render_core_bwd(S, grid_x, grid_y, W, H, interpret, res, g):
-    payload_pairs, tile_start, tile_count, fwd_out = res
+def _render_pairs_bwd(S, grid_x, grid_y, W, H, interpret, res, g):
+    from materialrefgs_tpu.ops.rasterize.layout import row_gid
+
+    pp, bins, fwd_out, P = res
     lay = out_layout(S)
     n_contrib = fwd_out[..., lay["n_contrib"][0]]  # (T, 256)
     tile_active = jnp.max(n_contrib, axis=1).astype(jnp.int32)
-    d_pairs = rasterize_tiles_bwd(
-        payload_pairs,
-        tile_start,
-        tile_count,
+    d_ch = rasterize_tiles_bwd(
+        pp,
+        bins.tile_start,
+        bins.tile_count,
         tile_active,
+        bins.chunk_base,
         fwd_out,
         g,
         S=S,
@@ -161,12 +161,23 @@ def _render_core_bwd(S, grid_x, grid_y, W, H, interpret, res, g):
         H=H,
         interpret=interpret,
     )
-    zero_i = np.zeros(tile_start.shape, jax.dtypes.float0)
-    zero_c = np.zeros(tile_count.shape, jax.dtypes.float0)
-    return d_pairs, zero_i, zero_c
+    GID = row_gid(S)
+    # Chunk slots at/past chunk_base[T] were never written (HBM garbage),
+    # and written-but-invalid lanes carry gid 0: route both to the
+    # out-of-range sentinel P. (NB: the sentinel must be HIGH — negative
+    # scatter indices wrap NumPy-style before mode="drop" applies.)
+    col = jnp.arange(d_ch.shape[1], dtype=jnp.int32)
+    live = col < bins.chunk_base[-1] * K_CHUNK
+    raw = d_ch[GID].astype(jnp.int32) - 1
+    idx = jnp.where(live & (raw >= 0), raw, P)
+    dpg = jnp.zeros((d_ch.shape[0], P), d_ch.dtype).at[:, idx].add(
+        d_ch, mode="drop"
+    )
+    dpg = dpg.at[GID].set(0.0)  # the gid row itself carries no gradient
+    return dpg, None
 
 
-_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+_render_pairs.defvjp(_render_pairs_fwd, _render_pairs_bwd)
 
 
 def _unpack(tiles_out, S, grid_x, grid_y, W, H, bg_color):
@@ -267,18 +278,8 @@ def rasterize(
     bins = binning.bin_pairs(pre_s, grid_x, grid_y, config.pair_capacity)
 
     payload_g = _build_payload(pre_s, opac_s, colors_s, feats_s, S)  # (C, P)
-    payload_pairs = _pair_payload(S, config.interpret, payload_g, bins)
-    # 2*K_CHUNK zero columns past B: tile ranges may end K-1 short of a chunk
-    # boundary (1st chunk), and the kernels' double-buffered DMA prefetches
-    # one chunk ahead of the last (2nd chunk).
-    payload_pairs = jnp.concatenate(
-        [payload_pairs, jnp.zeros((payload_pairs.shape[0], 2 * K_CHUNK), payload_pairs.dtype)],
-        axis=1,
-    )
-
-    tiles_out = _render_core(
-        S, grid_x, grid_y, W, H, config.interpret,
-        payload_pairs, bins.tile_start, bins.tile_count,
+    tiles_out = _render_pairs(
+        S, grid_x, grid_y, W, H, config.interpret, payload_g, bins
     )
     out = _unpack(tiles_out, S, grid_x, grid_y, W, H, bg_color)
     out["radii"] = pre.radius

@@ -1,4 +1,4 @@
-"""Tile binning: (gaussian, tile) pair expansion + sort + aligned tile ranges.
+"""Tile binning: (gaussian, tile) pair expansion + sort + raw tile ranges.
 
 TPU-native replacement for the CUDA binning stage
 (rasterizer_impl.cu:72-113 duplicateWithKeys + CUB RadixSort +
@@ -8,13 +8,15 @@ identifyTileRanges:118). Differences by design:
     emits pairs already in depth order and a single stable sort by tile id
     yields per-tile front-to-back order — equivalent to the CUDA 64-bit
     (tileID << 32 | depth-bits) radix sort.
-  - Each tile's pair range is padded to a multiple of K_CHUNK and starts at a
-    K_CHUNK-aligned offset, so the Pallas kernels can DMA aligned chunks
-    (Mosaic requires lane-tile-aligned HBM slices). Padding slots are marked
-    invalid via `pair_valid`.
-  - Static shapes: the padded pair list has fixed capacity `pair_capacity`;
-    ranges that would exceed it are truncated (farthest-gaussian pairs drop
-    first within a tile) and reported via `overflow`.
+  - Tile ranges are RAW (unaligned) offsets into the sorted pair list. The
+    Pallas kernels DMA the enclosing 128-aligned window per tile and mask
+    the over-read head/tail lanes — no padded slot layout exists, so no
+    B-sized scatter or slot<->sorted indirection is ever built. The backward
+    kernel writes its chunk-major output at `chunk_base`-derived offsets,
+    which keeps overlapping tile windows write-disjoint.
+  - Static shapes: the pair list has fixed capacity `pair_capacity`; pairs
+    past it (the farthest gaussians', since expansion is depth-major) are
+    dropped and reported via `overflow`.
 """
 from __future__ import annotations
 
@@ -28,33 +30,23 @@ from materialrefgs_tpu.ops.rasterize.preprocess import PreprocessOut
 
 
 class BinningOut(NamedTuple):
-    pair_src: jax.Array  # (B,) int32 SORTED-pair index per padded slot
-    pair_valid: jax.Array  # (B,) bool — False for padding slots
-    g_sorted: jax.Array  # (B,) int32 gaussian id per sorted pair
-    tile_start: jax.Array  # (T+1,) int32 K_CHUNK-aligned start offsets
-    tile_count: jax.Array  # (T,) int32 valid pairs per tile (<= range size)
+    g_sorted: jax.Array  # (B,) int32 gaussian id per sorted pair (0 if invalid)
+    tile_start: jax.Array  # (T+1,) int32 RAW start offsets (unaligned)
+    tile_count: jax.Array  # (T,) int32 pairs per tile
+    chunk_base: jax.Array  # (T+1,) int32 cumulative K-chunk windows per tile
     num_pairs: jax.Array  # () int32 valid pairs kept
     overflow: jax.Array  # () int32 pairs dropped due to capacity
 
 
-def _broadcast_to_segments(values, seg_starts, B):
-    """values (S,) int32 broadcast along segments with given start offsets
-    (sorted, may repeat for empty segments) -> (B,) int32.
-
-    Delta-scatter + cumsum: out[k] = values[seg_of(k)]. Exact for int32.
-    Random gathers v[seg_of_pair] over millions of pairs are ~25ms each on
-    TPU; one scan over B is ~5ms and replaces them all.
-    """
-    deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
-    idx = jnp.where(seg_starts < B, seg_starts, B)
-    marks = jnp.zeros(B, values.dtype).at[idx].add(deltas, mode="drop")
-    return jnp.cumsum(marks)
-
-
 def _broadcast_to_segments_multi(values, seg_starts, B):
-    """(M, S) variant of _broadcast_to_segments -> (M, B). TPU scatter cost
-    is ~70 ns per INDEX (channels ride along), so M broadcasts sharing one
-    index vector collapse into a single scatter + one lane-major cumsum."""
+    """values (M, S) int32 broadcast along segments with given start offsets
+    (sorted, may repeat for empty segments) -> (M, B) with
+    out[m, k] = values[m, seg_of(k)]. Exact for int32.
+
+    Random gathers v[seg_of_pair] over millions of pairs are ~25 ms each on
+    TPU; one delta-scatter + lane-major cumsum over B is ~5 ms and — since
+    TPU scatter cost is ~70 ns per INDEX with channels riding along — M
+    broadcasts sharing one index vector collapse into a single scatter."""
     M = values.shape[0]
     deltas = jnp.diff(values, axis=1, prepend=jnp.zeros((M, 1), values.dtype))
     idx = jnp.where(seg_starts < B, seg_starts, B)
@@ -113,43 +105,32 @@ def bin_pairs(
         (tile, g_masked), is_stable=True, num_keys=1
     )
 
-    # Per-tile raw ranges (num_tiles is small — searchsorted is fine here),
-    # then K-aligned padded layout.
-    raw_start = jnp.searchsorted(
+    # Per-tile raw ranges (num_tiles is small — searchsorted is fine here).
+    tile_start = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    counts = raw_start[1:] - raw_start[:-1]  # (T,)
-    padded = ((counts + K - 1) // K) * K
-    padded_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
-    )  # (T+1,), multiples of K
+    tile_count = tile_start[1:] - tile_start[:-1]  # (T,)
 
-    tile_start = jnp.minimum(padded_start, B)
-    tile_count = jnp.minimum(counts, tile_start[1:] - tile_start[:-1]).astype(jnp.int32)
-
-    # The padded slot layout is built WITHOUT any B-sized scatter (a TPU
-    # scatter costs ~70 ns/index — ~10 ms here). Both directions of the
-    # slot <-> sorted-pair mapping are piecewise-linear in the segment
-    # structure, so two multi-channel segment broadcasts express them:
-    #   slot s (segments = tile_start):  src(s)  = s - shift[t(s)],
-    #                                    valid   = s < tile_start[t] + count[t]
-    #   sorted i (segments = raw_start): slot(i) = i + shift[t(i)],
-    #                                    kept    = i < raw_start[t] + count[t]
-    shift = tile_start[:-1] - raw_start[:-1]
-    se = _broadcast_to_segments_multi(
-        jnp.stack([shift, tile_start[:-1] + tile_count]), tile_start[:-1], B
+    # Per-tile K-aligned over-read window sizes, in chunks: the kernels DMA
+    # [floor_K(start), ...) and mask lanes outside [start, start+count).
+    head = tile_start[:-1] - (tile_start[:-1] // K) * K
+    n_chunks = jnp.where(tile_count > 0, (head + tile_count + K - 1) // K, 0)
+    chunk_base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_chunks).astype(jnp.int32)]
     )
-    slot_shift, slot_lim = se[0], se[1]
-    pair_valid = k < slot_lim
-    pair_src_sorted = jnp.clip(jnp.where(pair_valid, k - slot_shift, 0), 0, B - 1)
 
-    num_kept = jnp.sum(tile_count)
+    num_kept = tile_start[-1]  # pairs with a real tile id (= min(total, B))
     return BinningOut(
-        pair_src=pair_src_sorted,
-        pair_valid=pair_valid,
         g_sorted=g_sorted,
         tile_start=tile_start,
         tile_count=tile_count,
+        chunk_base=chunk_base,
         num_pairs=num_kept,
         overflow=total - num_kept,
     )
+
+
+def n_chunk_slots(pair_capacity: int, num_tiles: int) -> int:
+    """Static worst-case number of K-chunk windows across all tiles (each
+    tile's over-read adds at most one extra chunk)."""
+    return pair_capacity // K_CHUNK + num_tiles

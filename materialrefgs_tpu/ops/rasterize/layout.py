@@ -28,8 +28,18 @@ def payload_channels(S: int) -> int:
     return ROW_LIN + acc_channels(S)
 
 
+def row_gid(S: int) -> int:
+    """Payload row carrying (owning gaussian id + 1) as f32, exact for
+    P < 2^24; 0 marks an invalid lane. It rides the pair row-gather for free
+    (TPU gather cost is per index, channels ride along), and the backward
+    kernel stamps it into its chunk-major gradient output so the caller's
+    scatter-add needs no separately materialized index map."""
+    return payload_channels(S)
+
+
 def payload_channels_padded(S: int) -> int:
-    return ((payload_channels(S) + 7) // 8) * 8
+    c = payload_channels(S) + 1  # +1: the row_gid channel
+    return ((c + 7) // 8) * 8
 
 
 # Output channel offsets within the (num_tiles, 256, C_OUT) forward output.

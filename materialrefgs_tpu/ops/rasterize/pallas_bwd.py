@@ -14,8 +14,9 @@ each tile's pair list back-to-front in K-chunks:
   - the distortion w- and m- gradients use the total-sum identity with the
     saved M1/M2/final_T exactly as backward.cu:371-387,
   - per-pair payload gradients (dTu/dTv/dTw/dmean2d/dopacity/dlin) are
-    reduced over the 256 pixels and DMA'd out; the caller segment-sums them
-    into per-gaussian gradients (replaces atomicAdd).
+    reduced over the 256 pixels and DMA'd out CHUNK-MAJOR with the owning
+    gaussian id stamped on row_gid; the caller scatter-adds them into
+    per-gaussian gradients (replaces atomicAdd).
 
 Gradient semantics intentionally replicate the CUDA kernel, including the
 pass-through gradient of the alpha=min(0.99, o*G) clamp (backward.cu:328/425).
@@ -43,6 +44,7 @@ from materialrefgs_tpu.ops.rasterize.layout import (
     out_channels_padded,
     out_layout,
     payload_channels_padded,
+    row_gid,
 )
 from materialrefgs_tpu.ops.rasterize.preprocess import (
     FAR_N,
@@ -74,6 +76,7 @@ def _bwd_kernel(
     tile_start_ref,
     tile_count_ref,
     tile_active_ref,
+    chunk_base_ref,
     # inputs
     payload_hbm,
     fwd_tile_ref,  # (1, 256, C_OUT) VMEM — saved forward outputs for this tile
@@ -95,14 +98,23 @@ def _bwd_kernel(
     ACC = acc_channels(S)
     layout = out_layout(S)
     C_PAD = payload_channels_padded(S)
+    GID = row_gid(S)
 
     t = pl.program_id(0)
-    start = tile_start_ref[t]  # K-aligned (see binning.bin_pairs)
+    start = tile_start_ref[t]  # RAW offset (binning.bin_pairs)
     count = tile_count_ref[t]
     end = start + count
     active = tile_active_ref[t]
-    n_chunks = (count + K - 1) // K
-    active_chunks = (active + K - 1) // K
+    # Over-read alignment (same windows as the forward kernel): read chunks
+    # at 128-aligned offsets and mask head/tail lanes. Gradient chunks are
+    # written CHUNK-MAJOR at chunk_base[t] so overlapping read windows of
+    # adjacent tiles never produce overlapping writes; the owning gaussian
+    # id rides row_gid of each written chunk for the caller's scatter-add.
+    base = (start // K) * K
+    head = start - base
+    cb = chunk_base_ref[t]
+    n_chunks = jnp.where(count > 0, (head + count + K - 1) // K, 0)
+    active_chunks = jnp.where(active > 0, (head + active + K - 1) // K, 0)
 
     tx = t % grid_x
     ty = t // grid_x
@@ -135,15 +147,15 @@ def _bwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     gamma = FAR_N / (FAR_N - NEAR_N)
 
-    # Pairs past the last contributor still belong to the tile's valid range
-    # (the caller segment-sums them), so their grad rows must be written as
-    # zeros — HBM garbage would corrupt per-gaussian gradients.
+    # Chunks past the last contributor still own chunk-major output slots
+    # (the caller scatter-adds every slot below chunk_base[T]), so they must
+    # be written as zeros — the zero gid row marks every lane invalid.
     grad_vmem[0] = jnp.zeros((C_PAD, K), jnp.float32)
 
     def zero_body(it, x):
-        off = pl.multiple_of(start + (active_chunks + it) * K, K)
+        ooff = pl.multiple_of((cb + active_chunks + it) * K, K)
         cp = pltpu.make_async_copy(
-            grad_vmem.at[0], dpayload_hbm.at[:, pl.ds(off, K)], sem_out.at[0]
+            grad_vmem.at[0], dpayload_hbm.at[:, pl.ds(ooff, K)], sem_out.at[0]
         )
         cp.start()
         cp.wait()
@@ -157,7 +169,7 @@ def _bwd_kernel(
         # the slot the current iteration is reading.
         slot = jax.lax.rem(chunk_i + 2, 2)
         ci = jnp.maximum(chunk_i, 0)
-        off = pl.multiple_of(start + ci * K, K)
+        off = pl.multiple_of(base + ci * K, K)
         pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem_in.at[slot]
         ).start()
@@ -169,7 +181,8 @@ def _bwd_kernel(
     def body(it, carry):
         carry_gw, carry_lg = carry  # (256,1) each
         chunk_i = active_chunks - 1 - it
-        off = pl.multiple_of(start + chunk_i * K, K)
+        off = pl.multiple_of(base + chunk_i * K, K)
+        ooff = pl.multiple_of((cb + chunk_i) * K, K)
 
         def compute(carry_gw, carry_lg):
             # Double-buffered in-DMA: wait for this chunk's copy, prefetch
@@ -213,8 +226,9 @@ def _bwd_kernel(
             Gg = jnp.exp(power)
             alpha = jnp.minimum(ALPHA_MAX, opa * Gg)
 
-            idx1 = (chunk_i * K + lane + 1).astype(jnp.float32)  # (1, K)
-            lane_ok = (off + lane) < end
+            idx1 = (chunk_i * K + lane + 1 - head).astype(jnp.float32)  # (1, K)
+            lane_idx = off + lane
+            lane_ok = (lane_idx >= start) & (lane_idx < end)
             within = idx1 <= n_contrib  # (256, K) per-pixel contributor bound
             ok = (
                 pz_ok
@@ -305,12 +319,16 @@ def _bwd_kernel(
                 rsum(dmean_y),
                 dopacity,
             ]
-            head = jnp.concatenate(rows, axis=0)  # (12, K)
+            hrows = jnp.concatenate(rows, axis=0)  # (12, K)
             dlin = jax.lax.dot_general(
                 dLin, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=MM_PRECISION,
             )  # (ACC, K)
-            grad = jnp.concatenate([head, dlin], axis=0)
+            # Stamp (gid + 1) from the payload's row_gid channel onto the
+            # same row of the gradient chunk; over-read/out-of-range lanes
+            # get 0 so the caller's scatter-add drops them.
+            gid_row = pay[GID : GID + 1, :] * lane_ok.astype(jnp.float32)
+            grad = jnp.concatenate([hrows, dlin, gid_row], axis=0)
             pad = C_PAD - grad.shape[0]
             if pad:
                 grad = jnp.concatenate(
@@ -324,13 +342,13 @@ def _bwd_kernel(
             @pl.when(it >= 2)
             def _():
                 pltpu.make_async_copy(
-                    grad_vmem.at[gslot], dpayload_hbm.at[:, pl.ds(off, K)],
+                    grad_vmem.at[gslot], dpayload_hbm.at[:, pl.ds(ooff, K)],
                     sem_out.at[gslot],
                 ).wait()
 
             grad_vmem[gslot] = grad
             pltpu.make_async_copy(
-                grad_vmem.at[gslot], dpayload_hbm.at[:, pl.ds(off, K)],
+                grad_vmem.at[gslot], dpayload_hbm.at[:, pl.ds(ooff, K)],
                 sem_out.at[gslot],
             ).start()
 
@@ -349,27 +367,28 @@ def _bwd_kernel(
     @pl.when(active_chunks > 0)
     def _():
         pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(pl.multiple_of(start, K), K)],
+            payload_hbm.at[:, pl.ds(pl.multiple_of(base, K), K)],
             chunk_vmem.at[1], sem_in.at[1],
         ).wait()
-        off0 = pl.multiple_of(start, K)
+        ooff0 = pl.multiple_of(cb * K, K)
         pltpu.make_async_copy(
-            grad_vmem.at[0], dpayload_hbm.at[:, pl.ds(off0, K)], sem_out.at[0]
+            grad_vmem.at[0], dpayload_hbm.at[:, pl.ds(ooff0, K)], sem_out.at[0]
         ).wait()
 
     @pl.when(active_chunks > 1)
     def _():
-        off1 = pl.multiple_of(start + K, K)
+        ooff1 = pl.multiple_of((cb + 1) * K, K)
         pltpu.make_async_copy(
-            grad_vmem.at[1], dpayload_hbm.at[:, pl.ds(off1, K)], sem_out.at[1]
+            grad_vmem.at[1], dpayload_hbm.at[:, pl.ds(ooff1, K)], sem_out.at[1]
         ).wait()
 
 
 def rasterize_tiles_bwd(
-    payload: jax.Array,  # (C_PAD, B + K)
-    tile_start: jax.Array,  # (T+1,) K_CHUNK-aligned
+    payload: jax.Array,  # (C_PAD, B + 2*K)
+    tile_start: jax.Array,  # (T+1,) int32 RAW offsets (kernel over-reads)
     tile_count: jax.Array,  # (T,) int32 valid pairs per tile
     tile_active: jax.Array,  # (T,) int32 max contributors per tile
+    chunk_base: jax.Array,  # (T+1,) int32 cumulative chunk windows per tile
     fwd_out: jax.Array,  # (T, 256, C_OUT)
     cotangent: jax.Array,  # (T, 256, C_OUT)
     *,
@@ -380,16 +399,22 @@ def rasterize_tiles_bwd(
     H: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns per-pair payload gradients (C_PAD, B + K). Pairs outside every
-    tile's range are NOT written — the caller must mask via pair_valid before
-    the segment sum."""
+    """Returns CHUNK-MAJOR per-pair payload gradients
+    (C_PAD, n_chunk_slots * K): tile t's chunk i lives at columns
+    [(chunk_base[t]+i)*K, ...). Row row_gid(S) carries (gaussian id + 1)
+    per lane (0 = invalid/over-read lane); columns at or past
+    chunk_base[T]*K are never written and must be dropped by the caller."""
+    from materialrefgs_tpu.ops.rasterize.binning import n_chunk_slots
+
     num_tiles = grid_x * grid_y
     C_PAD = payload_channels_padded(S)
     C_OUT = out_channels_padded(S)
+    B = payload.shape[1] - 2 * K_CHUNK
+    nslots = n_chunk_slots(B, num_tiles)
 
     kernel = functools.partial(_bwd_kernel, S=S, grid_x=grid_x, W=W, H=H)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -411,6 +436,6 @@ def rasterize_tiles_bwd(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C_PAD, nslots * K_CHUNK), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, tile_active, payload, fwd_out, cotangent)
+    )(tile_start, tile_count, tile_active, chunk_base, payload, fwd_out, cotangent)

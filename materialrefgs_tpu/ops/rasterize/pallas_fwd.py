@@ -97,10 +97,14 @@ def _fwd_kernel(
     C_OUT = out_channels_padded(S)
 
     t = pl.program_id(0)
-    start = tile_start_ref[t]  # K-aligned (see binning.bin_pairs)
+    start = tile_start_ref[t]  # RAW offset (binning.bin_pairs)
     count = tile_count_ref[t]
     end = start + count
-    n_chunks = (count + K - 1) // K
+    # Over-read alignment: DMA the enclosing 128-aligned window and mask the
+    # head/tail lanes — no padded slot layout exists in HBM.
+    base = (start // K) * K
+    head = start - base
+    n_chunks = jnp.where(count > 0, (head + count + K - 1) // K, 0)
 
     tx = t % grid_x
     ty = t // grid_x
@@ -117,7 +121,7 @@ def _fwd_kernel(
         # Safe for chunk_i == n_chunks: the payload is padded with 2*K zero
         # columns past B (api.rasterize), so the one-ahead prefetch of the
         # last iteration stays in bounds.
-        off = pl.multiple_of(start + chunk_i * K, K)
+        off = pl.multiple_of(base + chunk_i * K, K)
         slot = jax.lax.rem(chunk_i, 2)
         pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem.at[slot]
@@ -148,7 +152,7 @@ def _fwd_kernel(
         # Double-buffered DMA: wait for this chunk's copy (started one
         # iteration ago), then immediately prefetch the next chunk into the
         # other slot so the copy overlaps this chunk's math.
-        off = pl.multiple_of(start + chunk_i * K, K)
+        off = pl.multiple_of(base + chunk_i * K, K)
         slot = jax.lax.rem(chunk_i, 2)
         pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem.at[slot]
@@ -187,7 +191,8 @@ def _fwd_kernel(
         power = -0.5 * rho
         alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
 
-        lane_ok = (off + lane) < end
+        lane_idx = off + lane
+        lane_ok = (lane_idx >= start) & (lane_idx < end)
         ok = (
             pz_ok
             & (depth_px >= NEAR_N)
@@ -248,8 +253,9 @@ def _fwd_kernel(
         wm2_sum = wm2_sum + jnp.sum(wm2, axis=1, keepdims=True)
 
         # Contributor index within the tile list (1-based, counts every
-        # examined pair like forward.cu:364).
-        idx1 = (chunk_i * K + lane + 1).astype(jnp.float32)  # (1, K)
+        # examined pair like forward.cu:364). Over-read head lanes get
+        # non-positive indices but can never contribute (lane_ok masks them).
+        idx1 = (chunk_i * K + lane + 1 - head).astype(jnp.float32)  # (1, K)
         contributing = w > 0.0
         n_contrib = jnp.maximum(
             n_contrib,
@@ -327,7 +333,7 @@ def _fwd_kernel(
     @pl.when(n_chunks > 0)
     def _():
         slot = jax.lax.rem(exit_chunk, 2)
-        off = pl.multiple_of(start + exit_chunk * K, K)
+        off = pl.multiple_of(base + exit_chunk * K, K)
         pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(off, K)], chunk_vmem.at[slot], sem.at[slot]
         ).wait()
@@ -371,8 +377,8 @@ def _fwd_kernel(
 
 
 def rasterize_tiles_fwd(
-    payload: jax.Array,  # (C_PAD, B + K_CHUNK) f32, depth-sorted per tile
-    tile_start: jax.Array,  # (T+1,) int32, K_CHUNK-aligned
+    payload: jax.Array,  # (C_PAD, B + 2*K_CHUNK) f32, depth-sorted per tile
+    tile_start: jax.Array,  # (T+1,) int32 RAW offsets (kernel over-reads)
     tile_count: jax.Array,  # (T,) int32 valid pairs per tile
     *,
     S: int,

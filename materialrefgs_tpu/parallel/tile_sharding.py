@@ -26,8 +26,7 @@ from materialrefgs_tpu.ops.rasterize import binning
 from materialrefgs_tpu.ops.rasterize.api import (
     RasterizeConfig,
     _build_payload,
-    _pair_payload,
-    _render_core,
+    _render_pairs,
     _unpack,
 )
 from materialrefgs_tpu.ops.rasterize.layout import K_CHUNK, TILE
@@ -92,13 +91,9 @@ def rasterize_tile_sharded(
         payload_g = _build_payload(
             pre_s, opacities[order], colors[order], features[order], S
         )
-        payload_pairs = _pair_payload(S, config.interpret, payload_g, bins)
-        payload_pairs = jnp.concatenate(
-            [payload_pairs, jnp.zeros((payload_pairs.shape[0], 2 * K_CHUNK))], axis=1
-        )
-        tiles_out = _render_core(
+        tiles_out = _render_pairs(
             S, grid_x, rows_local, W, rows_local * TILE, config.interpret,
-            payload_pairs, bins.tile_start, bins.tile_count,
+            payload_g, bins,
         )
         return tiles_out, bins.overflow[None]
 
