@@ -101,6 +101,21 @@ class OptimizationParams:
     normal_loss_start: int = 0
     dist_loss_start: int = 3000
 
+    # Declarative iteration ladders (SURVEY §7.2: curriculum as schedule
+    # tables, not code forks). Each is ((iter_threshold, value), ...): the
+    # value of the LAST entry whose threshold < iteration applies.
+    # refnerf: get_current_normal_loss_weight train_refnerf.py:1181-1196;
+    # glossy trains with a constant 0.05 (train_glossy.py:1239-1240).
+    normal_weight_ladder: tuple = (
+        (0, 0.015), (10000, 0.05), (15000, 0.1), (25000, 0.05)
+    )
+    # refnerf: normal_gamma steps train_refnerf.py:1138-1143; glossy drops
+    # the prior at 7000 outright (train_glossy.py:1198-1202).
+    normal_gamma_ladder: tuple = ((0, 1.0), (7000, 0.5), (12000, 0.0))
+    # Mono-normal prior loss coefficient: refnerf applies 0.5x externally,
+    # glossy folds 0.01x into mono_normal_loss (train_glossy.py:269).
+    mono_normal_coef: float = 0.5
+
     use_env_scope: bool = False
     env_scope_center: tuple = (0.0, 0.0, 0.0)
     env_scope_radius: float = 0.0
@@ -208,6 +223,14 @@ def preset_glossy() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
             o,
             use_roughness_warp_loss=True,
             lambda_perceptual_loss=0.05,
+            # Glossy trains with a constant normal-consistency weight
+            # (train_glossy.py:1239-1240 early-returns 0.05) ...
+            normal_weight_ladder=((0, 0.05),),
+            # ... drops the mono-normal prior entirely past 7000
+            # (train_glossy.py:1198-1202: no 0.5 plateau) ...
+            normal_gamma_ladder=((0, 1.0), (7000, 0.0)),
+            # ... and weights it 0.01 (train_glossy.py:269).
+            mono_normal_coef=0.01,
         ),
     )
 

@@ -53,6 +53,8 @@ def render_set(
     bg_color=(0.0, 0.0, 0.0),
     stage: str = "surfel",
     mesh=None,  # ops.mesh_tracer.MeshData: mesh-traced specular visibility
+    gt_normals: list | None = None,  # (H, W, 3) world normals in [-1, 1]
+    gt_normal_masks: list | None = None,  # (H, W) foreground masks
 ) -> dict:
     """reference eval.py:23-106 render_set: per-view metrics + map dumps.
 
@@ -84,6 +86,7 @@ def render_set(
         return render_surfel(model, cam, bg, envmap, opts)
 
     run_jit = jax.jit(run)
+    normal_maes = []
     for idx, (cam, gt) in enumerate(zip(cameras, images)):
         t0 = time.perf_counter()
         pkg = run_jit(cam)
@@ -92,6 +95,24 @@ def render_set(
         gt = jnp.asarray(gt)
         psnrs.append(float(psnr(pkg["render"], gt)))
         ssims.append(float(ssim(pkg["render"], gt)))
+        if gt_normals is not None:
+            # GT-normal mean angular error in degrees over the foreground
+            # (Glossy Synthetic eval; NeRO-style datasets ship GT normals).
+            ng = np.asarray(gt_normals[idx], np.float32)
+            ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-8)
+            npred = np.asarray(pkg["rend_normal"], np.float32)
+            npred = npred / np.maximum(
+                np.linalg.norm(npred, axis=-1, keepdims=True), 1e-8
+            )
+            m = (
+                np.asarray(gt_normal_masks[idx], np.float32)
+                if gt_normal_masks is not None
+                else np.asarray(pkg["rend_alpha"], np.float32)[..., 0] > 0.5
+            )
+            cosang = np.clip(np.sum(ng * npred, axis=-1), -1.0, 1.0)
+            ang = np.degrees(np.arccos(cosang))
+            denom = max(float(np.sum(m)), 1.0)
+            normal_maes.append(float(np.sum(ang * m) / denom))
         if lpips_fn is not None:
             lpipses.append(float(lpips_fn(jnp.clip(pkg["render"], 0, 1), gt)))
         if dump_maps:
@@ -123,14 +144,18 @@ def render_set(
         "lpips": float(np.mean(lpipses)) if lpipses else None,
         "fps": float(fps),
         "per_view_psnr": psnrs,
+        "normal_mae": float(np.mean(normal_maes)) if normal_maes else None,
     }
 
 
 def write_metrics(out_dir: str, metrics: dict):
-    """metric.txt (eval.py:72-74)."""
+    """metric.txt (eval.py:72-74); normal_mae added for the glossy preset
+    (GT-normal angular error, degrees)."""
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "metric.txt"), "w") as f:
         f.write(f"psnr: {metrics['psnr']}\n")
         f.write(f"ssim: {metrics['ssim']}\n")
         f.write(f"lpips: {metrics['lpips']}\n")
         f.write(f"fps: {metrics['fps']}\n")
+        if metrics.get("normal_mae") is not None:
+            f.write(f"normal_mae: {metrics['normal_mae']}\n")

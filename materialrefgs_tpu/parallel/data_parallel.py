@@ -43,6 +43,55 @@ def stack_cameras(cameras: list[Camera]) -> Camera:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
 
 
+def make_dp_production_step(
+    mesh: Mesh,
+    stage: str,
+    opt: OptimizationParams,
+    pipe: PipelineParams,
+    spatial_lr_scale: float,
+    raster_cfg: RasterizeConfig,
+    envmap_n_samples: int = 8,
+    with_warp: bool = False,
+    with_mono_normal: bool = False,
+    tracer_cfg=None,
+    axis: str = "dp",
+):
+    """Camera-batch DP over the REAL curriculum train step (the same
+    trainer.make_train_step the single-chip Trainer jits: env-GS tracing in
+    surfel2, warp losses, densification stats, mask entropy, Adam surgery),
+    not a reduced loss. One camera per chip; parameters replicated; the
+    per-gaussian gradient pmean over ICI lives inside the step itself
+    (make_train_step(axis_name=...)).
+
+    Returns step(state, cam_batch, gt_batch, extra_batch, ncam_batch,
+    ngt_batch) -> (state, metrics) where every *_batch has leading dim
+    mesh.shape[axis]. extra_batch is the trainer's `extra` dict with every
+    leaf stacked per-chip (scalars like iteration just replicated)."""
+    from materialrefgs_tpu.train.trainer import make_train_step
+
+    step = make_train_step(
+        stage, opt, pipe, spatial_lr_scale, raster_cfg, envmap_n_samples,
+        with_warp=with_warp, with_mono_normal=with_mono_normal,
+        tracer_cfg=tracer_cfg, axis_name=axis, jit=False,
+    )
+
+    def shard_step(state, cam_batch, gt_batch, extra_batch, ncam_batch, ngt_batch):
+        unb = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
+        return step(
+            state, unb(cam_batch), gt_batch[0], unb(extra_batch),
+            unb(ncam_batch), ngt_batch[0],
+        )
+
+    sharded = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def make_dp_train_step(
     mesh: Mesh,
     opt: OptimizationParams,

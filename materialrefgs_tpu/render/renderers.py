@@ -206,6 +206,10 @@ def render_surfel(
         **regs,
     }
     if wo_render_img:
+        # Geometry/material-only pass (no env shading, no mips needed):
+        # everything the warp losses consume. diffuse_map is shading-free
+        # ((1-m)*SH base color, render_surfel:446).
+        results["diffuse_map"] = (1 - refl_map) * base_color
         return results
 
     # Deferred shading with the *world-space* normal map divided by alpha

@@ -118,15 +118,21 @@ def select_stage(iteration: int, opt: OptimizationParams) -> str:
     return "surfel2"
 
 
+def _ladder(iteration: int, steps) -> float:
+    """Value of the last (threshold, value) step with threshold < iteration."""
+    v = steps[0][1]
+    for thr, val in steps:
+        if iteration > thr:
+            v = val
+    return v
+
+
 def normal_gamma_schedule(iteration: int, opt: OptimizationParams) -> float:
-    """Mono-normal prior weight ladder (train_refnerf.py:1138-1149)."""
+    """Mono-normal prior weight ladder (train_refnerf.py:1138-1149); the
+    base ladder is preset config (glossy differs, train_glossy.py:1198-1202)."""
     g = 0.0
     if iteration > opt.init_until_iter:
-        g = 1.0
-    if iteration > 7000:
-        g = 0.5
-    if iteration > 12000:
-        g = 0.0
+        g = _ladder(iteration, opt.normal_gamma_ladder)
     if iteration > opt.normal_prop_until_iter or iteration > opt.densify_until_iter:
         g = 0.0
     if opt.indirect_from_iter < iteration < opt.indirect_from_iter + 10000:
@@ -134,15 +140,15 @@ def normal_gamma_schedule(iteration: int, opt: OptimizationParams) -> float:
     return g
 
 
-def normal_loss_weight_schedule(iteration: int) -> float:
-    """get_current_normal_loss_weight (train_refnerf.py:1183-1196)."""
-    if iteration < 10000:
-        return 0.015
-    if iteration < 15000:
-        return 0.05
-    if iteration < 25000:
-        return 0.1
-    return 0.05
+def normal_loss_weight_schedule(iteration: int, opt: OptimizationParams) -> float:
+    """get_current_normal_loss_weight (train_refnerf.py:1183-1196, preset
+    ladder; glossy is constant 0.05, train_glossy.py:1239-1240). The
+    reference's chain of `current < thr` tests makes thresholds inclusive."""
+    v = opt.normal_weight_ladder[0][1]
+    for thr, val in opt.normal_weight_ladder:
+        if iteration >= thr:
+            v = val
+    return v
 
 
 def make_train_step(
@@ -156,12 +162,21 @@ def make_train_step(
     with_mono_normal: bool = False,
     tracer_cfg=None,
     lpips_weights: dict | None = None,
+    axis_name: str | None = None,
+    jit: bool = True,
 ):
     """Returns jitted step(state, camera, gt, extra, nearest_camera,
     nearest_gt) -> (state, metrics).
 
     extra: traced scalars {iteration, lambda_normal_render_depth,
     normal_gamma, warp_key} + arrays {bg, image_mask?, normal_prior?}.
+
+    axis_name: when set, the step is meant to run inside a shard_map over
+    that mesh axis with one camera per chip (parameters replicated):
+    parameter gradients are pmean'd over ICI before the Adam update (the
+    role CUDA atomics + NCCL would play), densification radii are pmax'd
+    (a gaussian visible from ANY chip's camera gets stats), and overflow
+    is psum'd. Pass jit=False to get the raw fn for shard_map wrapping.
     """
     lrs_of = _param_lrs(opt, spatial_lr_scale)
     tx = make_optimizer()
@@ -223,11 +238,15 @@ def make_train_step(
             from materialrefgs_tpu.train import warp as warp_mod
 
             # The warp losses consume only geometry/material maps (depth,
-            # normal, base color, metallic, roughness), none of which depend
-            # on specular visibility — skip the mesh trace for the nearest
-            # view (exact, and halves the per-step trace cost).
-            nearest_pkg = render_stage(
-                model, env_gs, env1, env2, nearest_camera, extra["bg"], None
+            # normal, distance, base color, metallic, roughness) — none
+            # depend on env shading, the env-GS trace, or mesh visibility.
+            # Render the nearest view geometry-only (wo_render_img): exact
+            # for every warped map, drops the second tracer+shading+mips
+            # subgraph (the round-1 surfel2+warp >20-min compile), and
+            # keeps the same feature layout so no extra kernel specializes.
+            nearest_pkg = render_surfel(
+                model, nearest_camera, extra["bg"], None, ropts,
+                wo_render_img=True,
             )
             gt_gray = 0.299 * gt[..., 0] + 0.587 * gt[..., 1] + 0.114 * gt[..., 2]
             ngray = (
@@ -282,7 +301,9 @@ def make_train_step(
                 camera, pkg["surf_normal"], pkg["rend_normal"],
                 extra["normal_prior"], extra.get("image_mask"),
             )
-            loss = loss + extra["normal_gamma"] * 0.5 * (l1s + l1r + coss + cosr)
+            loss = loss + extra["normal_gamma"] * opt.mono_normal_coef * (
+                l1s + l1r + coss + cosr
+            )
             tb["loss_mono_normal"] = l1s + l1r
 
         # Iteration-dependent normal-consistency weight (ladder).
@@ -323,6 +344,14 @@ def make_train_step(
             state.model.params, state.env1, state.env2, env_gs_params, offset,
             state, camera, gt, extra, nearest_camera, nearest_gt, mesh,
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            aux = {
+                "tb": jax.lax.pmean(aux["tb"], axis_name),
+                "radii": jax.lax.pmax(aux["radii"], axis_name),
+                "overflow": jax.lax.psum(aux["overflow"], axis_name),
+            }
         if diff_env_gs:
             gp, ge1, ge2, geg, goff = grads
         else:
@@ -380,6 +409,8 @@ def make_train_step(
         metrics["overflow"] = aux["overflow"]
         return state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -549,7 +580,7 @@ class Trainer:
             extra = {
                 "iteration": jnp.float32(iteration),
                 "lambda_normal_render_depth": jnp.float32(
-                    normal_loss_weight_schedule(iteration)
+                    normal_loss_weight_schedule(iteration, opt)
                     if opt.lambda_normal_render_depth > 0
                     else 0.0
                 ),

@@ -13,6 +13,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def load_gt_normals(source_path, image_names, hw):
+    """GT normal maps for the test split, when the dataset ships them
+    (Glossy Synthetic via nero2blender: `normal/{name}.png`; Shiny Blender:
+    `test/{name}_normal.png`). Returns (normals, masks) or (None, None).
+    PNGs decode as n = 2*rgb - 1; the alpha channel (if any) is the
+    foreground mask."""
+    from PIL import Image
+
+    layouts = [
+        lambda n: os.path.join(source_path, "normal", n + ".png"),
+        lambda n: os.path.join(source_path, "test", n + "_normal.png"),
+        lambda n: os.path.join(source_path, n + "_normal.png"),
+    ]
+    for layout in layouts:
+        if not all(os.path.exists(layout(n)) for n in image_names):
+            continue
+        normals, masks = [], []
+        for n in image_names:
+            img = Image.open(layout(n))
+            if img.size != (hw[1], hw[0]):
+                img = img.resize((hw[1], hw[0]), Image.BILINEAR)
+            arr = np.asarray(img, np.float32) / 255.0
+            normals.append(arr[..., :3] * 2.0 - 1.0)
+            masks.append(
+                (arr[..., 3] > 0.5).astype(np.float32)
+                if arr.shape[-1] == 4
+                else np.ones(arr.shape[:2], np.float32)
+            )
+        return normals, masks
+    return None, None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model_path", required=True)
@@ -87,9 +119,16 @@ def main():
     out_dir = os.path.join(args.model_path, f"eval_{it}")
     if not args.skip_test and scene.test_cameras:
         images = [scene.test_image(i) for i in range(len(scene.test_cameras))]
+        test_names = [ci.image_name for ci in scene.info.test_cameras]
+        gt_normals, gt_nmasks = load_gt_normals(
+            args.source_path, test_names, images[0].shape[:2]
+        )
+        if gt_normals is not None:
+            print(f"GT normals found for {len(gt_normals)} test views (normal MAE on)")
         m = render_set(
             out_dir, "test", scene.test_cameras, images, model, mips, env_model,
             opts, bg_color=bg, mesh=mesh,
+            gt_normals=gt_normals, gt_normal_masks=gt_nmasks,
         )
         write_metrics(out_dir, m)
         print("test:", {k: v for k, v in m.items() if k != "per_view_psnr"})

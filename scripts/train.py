@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--save_iterations", type=int, nargs="+", default=None)
     ap.add_argument("--test_iterations", type=int, nargs="+", default=None)
     ap.add_argument("--metric3d_path", default=None)
+    ap.add_argument("--mask_dir", default=None,
+                    help="dir of foreground-mask PNGs (mask = last channel "
+                         "> 128); auto-resolved per preset when omitted "
+                         "(glossy: rgb/, refnerf: train/, train_glossy.py:101)")
     ap.add_argument("--seed", type=int, default=3407)
     ap.add_argument("--log_every", type=int, default=100)
     ap.add_argument("--checkpoint_iterations", type=int, nargs="+", default=None)
@@ -52,7 +56,18 @@ def main():
     ap.add_argument("--mesh_every", type=int, default=2000,
                     help="TSDF mesh re-extraction interval past "
                          "indirect_from_iter (train_refnerf.py:1459)")
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform (cpu for smoke runs; the "
+                         "axon TPU plugin otherwise wins even over "
+                         "JAX_PLATFORMS)")
     args = ap.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", {"cpu": "cpu", "tpu": "axon"}[args.device]
+        )
 
     from materialrefgs_tpu import config as cfg
     from materialrefgs_tpu.models import gaussian_io, gaussian_model as gm
@@ -87,15 +102,56 @@ def main():
     print(f"{n_train} train cameras, extent {scene.cameras_extent:.2f}")
 
     images = [scene.train_image(i) for i in range(n_train)]
+    H, W = images[0].shape[:2]
+
+    # Foreground masks (mask-entropy loss + mono-normal masking). Mirrors the
+    # reference get_mask_dir (train_glossy.py:101-134): the glossy preset's
+    # nero2blender layout keeps alpha in `rgb/`, synthetic blender in
+    # `train/`; mask = last channel > 128.
     masks = None
+    mask_dir = args.mask_dir
+    if mask_dir is None:
+        auto = {"glossy": "rgb", "refnerf": "train", "refreal": "mask"}[args.preset]
+        cand = os.path.join(args.source_path, auto)
+        mask_dir = cand if os.path.isdir(cand) else None
+    if mask_dir:
+        from PIL import Image
+
+        masks = []
+        for ci in scene.info.train_cameras:
+            p = os.path.join(mask_dir, ci.image_name + ".png")
+            if not os.path.exists(p):
+                masks = None
+                break
+            img = Image.open(p)
+            if img.size != (W, H):
+                img = img.resize((W, H), Image.NEAREST)
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            masks.append((arr[..., -1] > 128).astype(np.float32))
+        if masks is not None:
+            print(f"Loaded {len(masks)} foreground masks from {mask_dir}")
+
+    # Metric3D mono-normal priors. Layout differs per preset
+    # (train_glossy.py:62 `{scan}/normal` vs train_refnerf.py:60
+    # `{scan}_train/normal`); a flat dir of `{image_name}.png` also works.
     priors = None
     if args.metric3d_path and os.path.isdir(args.metric3d_path):
         from PIL import Image
 
+        scan = os.path.basename(os.path.normpath(args.source_path))
+        suffix = "" if args.preset == "glossy" else "_train"
+        prior_dirs = [
+            os.path.join(args.metric3d_path, scan + suffix, "normal"),
+            os.path.join(args.metric3d_path, scan, "normal"),
+            args.metric3d_path,
+        ]
+        prior_rt = next((d for d in prior_dirs if os.path.isdir(d)), None)
         priors = []
         for ci in scene.info.train_cameras:
-            p = os.path.join(args.metric3d_path, ci.image_name + ".png")
-            if os.path.exists(p):
+            p = os.path.join(prior_rt, ci.image_name + ".png") if prior_rt else ""
+            if p and os.path.exists(p):
                 arr = np.asarray(Image.open(p), np.float32) / 255.0 * 2 - 1
                 priors.append(arr[..., :3])
             else:
@@ -142,14 +198,16 @@ def main():
         pipe,
         cameras_extent=scene.cameras_extent,
         bg_color=bg,
-        raster_cfg=RasterizeConfig(pair_capacity=args.pair_capacity),
+        raster_cfg=RasterizeConfig(pair_capacity=args.pair_capacity,
+                                   interpret=(args.device == "cpu")),
         seed=args.seed,
         masks=masks,
         normal_priors=priors,
         ref_score_masks=ref_score_masks,
         nearest_ids=scene.nearest_ids,
         with_warp=(opt.multi_view_ncc_weight > 0),
-        tracer_cfg=TracerConfig(pair_capacity=args.pair_capacity),
+        tracer_cfg=TracerConfig(pair_capacity=args.pair_capacity,
+                                interpret=(args.device == "cpu")),
         mesh_dir=os.path.join(args.model_path, "meshes"),
         mesh_every=args.mesh_every,
         use_mesh_visibility=not args.no_mesh_visibility,
@@ -216,7 +274,8 @@ def main():
                 env_model=trainer.state.env_gs if stage == "surfel2" else None,
                 opts=RenderOptions(
                     unbiased_depth=pipe.unbiased_depth, srgb=opt.srgb,
-                    raster=RasterizeConfig(pair_capacity=args.pair_capacity),
+                    raster=RasterizeConfig(pair_capacity=args.pair_capacity,
+                                           interpret=(args.device == "cpu")),
                 ),
                 tracer_cfg=trainer.tracer_cfg,
                 dump_maps=False,

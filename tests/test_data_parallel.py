@@ -1,0 +1,161 @@
+"""Camera-batch DP over the production train step + DP x TP composition.
+
+Covers parallel/data_parallel.make_dp_production_step (the REAL
+trainer.make_train_step under shard_map, gradients pmean'd over 'dp') and
+parallel/tile_sharding.dp_tp_render_grads (2D mesh: cameras over dp, tile
+rows over tp). Parity anchor: a 1-device DP mesh must reproduce the plain
+single-chip step bit-for-bit (pmean over one chip is the identity).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from materialrefgs_tpu.cameras import look_at_camera
+from materialrefgs_tpu.config import OptimizationParams, PipelineParams
+from materialrefgs_tpu.models import gaussian_model as gm
+from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig, rasterize
+from materialrefgs_tpu.parallel.data_parallel import (
+    make_dp_production_step,
+    stack_cameras,
+)
+from materialrefgs_tpu.parallel.tile_sharding import dp_tp_render_grads
+from materialrefgs_tpu.train.trainer import init_train_state, make_train_step
+
+CFG = RasterizeConfig(pair_capacity=1 << 12, interpret=True)
+W = H = 32
+
+
+def _cam(i, n):
+    ang = 2 * np.pi * i / n
+    eye = np.array([3.0 * np.sin(ang), 0.4, -3.0 * np.cos(ang)])
+    return look_at_camera(
+        eye, np.zeros(3), np.array([0.0, 1.0, 0.0]), 0.9, 0.9, W, H
+    )
+
+
+def _state(rng, capacity=64):
+    pts = rng.normal(size=(48, 3)).astype(np.float32)
+    cols = rng.uniform(size=(48, 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=capacity)
+    return init_train_state(model, OptimizationParams(), envmap_res=16)
+
+
+def _extra(n, it=5000.0):
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    e = {
+        "iteration": jnp.full((n,), it, jnp.float32),
+        "lambda_normal_render_depth": jnp.full((n,), 0.05, jnp.float32),
+        "normal_gamma": jnp.zeros((n,), jnp.float32),
+        "warp_key": keys,
+        "bg": jnp.zeros((n, 3), jnp.float32),
+    }
+    return e
+
+
+def test_dp_one_device_matches_plain_step(rng):
+    """pmean over a 1-chip mesh is identity: the DP production step must
+    reproduce the plain jitted step exactly."""
+    opt = OptimizationParams()
+    pipe = PipelineParams()
+    state = _state(rng)
+    state2 = jax.tree_util.tree_map(
+        lambda a: a.copy() if hasattr(a, "copy") else a, state
+    )
+    cam = _cam(0, 1)
+    gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+
+    plain = make_train_step(
+        "surfel", opt, pipe, 3.0, CFG, envmap_n_samples=4, with_warp=False
+    )
+    extra_b = _extra(1)
+    extra = {k: v[0] for k, v in extra_b.items()}
+    s1, m1 = plain(state, cam, gt, extra, cam, gt)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    dp = make_dp_production_step(
+        mesh, "surfel", opt, pipe, 3.0, CFG, envmap_n_samples=4
+    )
+    cam_b = stack_cameras([cam])
+    gt_b = gt[None]
+    s2, m2 = dp(state2, cam_b, gt_b, extra_b, cam_b, gt_b)
+
+    np.testing.assert_allclose(
+        np.asarray(s2.model.params.xyz), np.asarray(s1.model.params.xyz),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), atol=1e-6)
+
+
+def test_dp_production_step_two_devices(rng):
+    """2-chip DP with the warp loss on: finite loss, replicated params
+    advance, densification stats accumulate for either camera's splats."""
+    opt = OptimizationParams()
+    state = _state(rng)
+    xyz0 = np.asarray(state.model.params.xyz).copy()
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    dp = make_dp_production_step(
+        mesh, "surfel", opt, PipelineParams(), 3.0, CFG,
+        envmap_n_samples=4, with_warp=True,
+    )
+    cams = [_cam(i, 2) for i in range(2)]
+    cam_b = stack_cameras(cams)
+    # Nearest views must be DISTINCT cameras (the trainer's nearest_ids never
+    # include self; a self-warp is a degenerate zero-baseline homography).
+    ncam_b = stack_cameras([_cam(i + 0.3, 2) for i in range(2)])
+    gt_b = jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32)
+    ngt_b = jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32)
+    extra_b = _extra(2, it=float(opt.multi_view_weight_from_iter + 100))
+
+    state, metrics = dp(state, cam_b, gt_b, extra_b, ncam_b, ngt_b)
+    assert np.isfinite(float(metrics["loss"]))
+    xyz1 = np.asarray(state.model.params.xyz)
+    assert np.all(np.isfinite(xyz1))
+    assert not np.allclose(xyz1[: state.model.n_alive], xyz0[: state.model.n_alive])
+    assert np.asarray(state.model.max_radii2d).max() > 0
+
+
+def test_dp_tp_grads_match_per_camera_mean(rng):
+    """(2 dp) x (2 tp) mesh vs plain per-camera rasterize: loss and
+    per-gaussian grads must agree (psum over dp+tp == sum over cameras and
+    tile rows)."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("dp", "tp"))
+
+    P = 48
+    means = jnp.asarray(rng.normal(size=(P, 3)) * 0.6, jnp.float32)
+    scales = jnp.asarray(np.exp(rng.normal(size=(P, 2)) * 0.5 - 1.6), jnp.float32)
+    rots = jnp.asarray(rng.normal(size=(P, 4)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, size=(P,)), jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(P, 3)), jnp.float32)
+    feats = jnp.asarray(rng.uniform(size=(P, 1)), jnp.float32)
+    args = (means, scales, rots, opac, colors, feats)
+
+    cams = [_cam(i, 2) for i in range(2)]
+    gt = jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32)
+
+    def ref_loss(*a):
+        tot = 0.0
+        for i, c in enumerate(cams):
+            o = rasterize(*a, camera=c, bg_color=jnp.zeros(3), config=CFG)
+            tot = tot + jnp.sum((o["render"] - gt[i]) ** 2)
+        return tot / (2 * H * W)
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    l_dp, g_dp = dp_tp_render_grads(
+        mesh, *args, stack_cameras(cams), gt, CFG
+    )
+
+    np.testing.assert_allclose(float(l_dp), float(l_ref), rtol=1e-5)
+    for n, a, b in zip(
+        ["means", "scales", "rots", "opac", "colors", "feats"], g_dp, g_ref
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), n
+        s = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=3e-3 * s + 1e-5, err_msg=n)
