@@ -235,6 +235,51 @@ def preset_glossy() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
     )
 
 
+# ----------------------------------------------------------- reflection CLI --
+
+
+def add_param_flags(ap) -> None:
+    """Reflection CLI (reference ParamGroup, arguments/__init__.py:20-51):
+    every field of ModelParams/PipelineParams/OptimizationParams becomes a
+    `--<name>` flag (bools get a `--no-<name>` negation). All default to
+    None = "keep the preset's value"; apply_param_flags folds explicit
+    flags back into the dataclasses."""
+    import argparse
+
+    taken = {s for a in ap._actions for s in a.option_strings}
+    for inst in (ModelParams(), PipelineParams(), OptimizationParams()):
+        for f in dataclasses.fields(type(inst)):
+            flag = f"--{f.name}"
+            if flag in taken or f.name in ("source_path", "model_path"):
+                continue
+            taken.add(flag)
+            d = getattr(inst, f.name)
+            if isinstance(d, bool):
+                ap.add_argument(
+                    flag, default=None, action=argparse.BooleanOptionalAction
+                )
+            elif isinstance(d, (int, float, str)):
+                ap.add_argument(flag, default=None, type=type(d))
+            # tuple-valued ladders stay config-file-only (like the
+            # reference's non-flag class attributes)
+
+
+def apply_param_flags(args, model: ModelParams, pipe: PipelineParams,
+                      opt: OptimizationParams):
+    """Fold explicitly-passed reflection flags over the preset values
+    (get_combined_args precedence: CLI > preset)."""
+
+    def upd(inst):
+        kw = {}
+        for f in dataclasses.fields(type(inst)):
+            v = getattr(args, f.name, None)
+            if v is not None and not isinstance(getattr(inst, f.name), tuple):
+                kw[f.name] = v
+        return dataclasses.replace(inst, **kw) if kw else inst
+
+    return upd(model), upd(pipe), upd(opt)
+
+
 # ------------------------------------------------------------- cfg_args I/O --
 
 

@@ -272,7 +272,9 @@ def make_train_step(
         # inside the score mask pull metallic -> 0.9 / roughness -> 0.05,
         # inverse outside, plus albedo smoothness in the mask.
         if stage in ("surfel", "surfel2") and "ref_score_mask" in extra:
-            gate_rs = (it > 10000).astype(jnp.float32)
+            # Reference gates at iteration > 10000 (train_refreal.py:1238),
+            # == ref_score_start_iter's default (arguments/__init__.py:242).
+            gate_rs = (it > opt.ref_score_start_iter).astype(jnp.float32)
             rs = extra["ref_score_mask"][..., None]  # (H, W, 1) bool-ish
             m_in = rs
             m_out = 1.0 - rs

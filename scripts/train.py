@@ -60,6 +60,13 @@ def main():
                     help="force the JAX platform (cpu for smoke runs; the "
                          "axon TPU plugin otherwise wins even over "
                          "JAX_PLATFORMS)")
+
+    from materialrefgs_tpu import config as cfg
+
+    # Reflection CLI: every Model/Pipeline/Optimization param is a flag
+    # (reference ParamGroup, arguments/__init__.py:20-51); unset flags keep
+    # the preset's values.
+    cfg.add_param_flags(ap)
     args = ap.parse_args()
 
     if args.device:
@@ -68,8 +75,6 @@ def main():
         jax.config.update(
             "jax_platforms", {"cpu": "cpu", "tpu": "axon"}[args.device]
         )
-
-    from materialrefgs_tpu import config as cfg
     from materialrefgs_tpu.models import gaussian_io, gaussian_model as gm
     from materialrefgs_tpu.models.scene import Scene
     from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
@@ -82,6 +87,7 @@ def main():
         "glossy": cfg.preset_glossy,
     }[args.preset]
     model_params, pipe, opt = preset()
+    model_params, pipe, opt = cfg.apply_param_flags(args, model_params, pipe, opt)
     model_params = dataclasses.replace(
         model_params, source_path=args.source_path, model_path=args.model_path
     )
