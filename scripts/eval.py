@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--preset", default="refnerf", choices=["refnerf", "refreal", "glossy"])
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--skip_test", action="store_true")
+    ap.add_argument("--export_material_mesh", action="store_true",
+                    help="write fuse_post_material.ply: the extracted mesh "
+                         "with per-vertex rgb/normal/diffuse/albedo/"
+                         "metallic/roughness (mesh_utils.py:255)")
     args = ap.parse_args()
 
     from materialrefgs_tpu import config as cfg
@@ -111,6 +115,17 @@ def main():
             verts, faces = read_mesh_ply(os.path.join(mesh_dir, plys[-1]))
             mesh = mt.build_mesh(verts, faces)
             print(f"Mesh visibility: {plys[-1]} ({len(faces)} tris)")
+
+            if args.export_material_mesh:
+                from materialrefgs_tpu.ops.mesh_tracer import bake_vertex_attrs
+                from materialrefgs_tpu.train.mesh_material import (
+                    write_material_mesh_ply,
+                )
+
+                attrs = bake_vertex_attrs(model, verts)
+                out = os.path.join(args.model_path, "fuse_post_material.ply")
+                write_material_mesh_ply(out, verts, faces, attrs)
+                print(f"Material mesh: {out} ({len(verts)} verts)")
 
     opts = RenderOptions(
         srgb=opt.srgb, unbiased_depth=pipe.unbiased_depth, raster=RasterizeConfig()
