@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--start_checkpoint", default=None,
                     help="model dir containing chkpnt{N} to resume from "
                          "(reference train_refnerf.py:1036-1046)")
+    ap.add_argument("--start_ply", default=None,
+                    help="point_cloud/iteration_N dir: initialize model + "
+                         "env maps from saved PLY artifacts (fresh optimizer "
+                         "state) and continue from --start_iter")
+    ap.add_argument("--start_iter", type=int, default=0,
+                    help="iteration to resume the curriculum at with "
+                         "--start_ply")
     ap.add_argument("--ref_score_path", default=None,
                     help="dir of precomputed reflection-score PNGs "
                          "(train_refreal.py:177-185); 'auto' mines them "
@@ -188,12 +195,23 @@ def main():
         )
         pcd = pcd._replace(points=pcd.points[sel], colors=pcd.colors[sel])
         print(f"Subsampled seed cloud {len(sel)}/{args.capacity} (capacity)")
-    model = gm.create_from_points(
-        pcd.points, pcd.colors, capacity=args.capacity,
-        max_sh_degree=model_params.sh_degree,
-        rng=np.random.default_rng(args.seed),
-    )
-    print(f"Initialized {len(pcd.points)} gaussians (capacity {args.capacity})")
+    start_env = None
+    if args.start_ply:
+        # Warm-start from PLY artifacts (fresh optimizer state): lets a run
+        # continue across stage boundaries without an orbax checkpoint.
+        model, e1, e2 = gaussian_io.load_ply(
+            os.path.join(args.start_ply, "point_cloud.ply"),
+            capacity=args.capacity, max_sh_degree=model_params.sh_degree,
+        )
+        start_env = (e1, e2)
+        print(f"Warm-started {int(model.n_alive)} gaussians from {args.start_ply}")
+    else:
+        model = gm.create_from_points(
+            pcd.points, pcd.colors, capacity=args.capacity,
+            max_sh_degree=model_params.sh_degree,
+            rng=np.random.default_rng(args.seed),
+        )
+        print(f"Initialized {len(pcd.points)} gaussians (capacity {args.capacity})")
 
     bg = (1.0, 1.0, 1.0) if model_params.white_background else (0.0, 0.0, 0.0)
     trainer = Trainer(
@@ -244,6 +262,30 @@ def main():
             trainer._init_env_gs()
         trainer.state, done = load_checkpoint(trainer.state, args.start_checkpoint)
         print(f"Resumed from {args.start_checkpoint} at iteration {done}")
+        marks = {m for m in marks if m > done} | {opt.iterations}
+    elif args.start_ply:
+        e1, e2 = start_env
+        st = trainer.state
+        if e1 is not None:
+            st = st.replace(env1=e1)
+        if e2 is not None:
+            st = st.replace(env2=e2)
+        import jax.numpy as jnp
+
+        st = st.replace(step=jnp.int32(args.start_iter))
+        trainer.state = st
+        env_ply = os.path.join(args.start_ply, "env_point_cloud.ply")
+        if os.path.exists(env_ply):
+            from materialrefgs_tpu.train.trainer import make_optimizer
+
+            env_gs, _, _ = gaussian_io.load_ply(
+                env_ply, capacity=args.capacity,
+                max_sh_degree=model_params.sh_degree,
+            )
+            trainer.state = trainer.state.replace(
+                env_gs=env_gs, env_gs_opt_state=make_optimizer().init(env_gs.params)
+            )
+        done = args.start_iter
         marks = {m for m in marks if m > done} | {opt.iterations}
 
     if args.ref_score_path == "auto":
