@@ -5,8 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Workload: Shiny-Blender-like synthetic scene (shell of 2D surfels), 800x800
 render with the full deferred feature set (S=9), measuring end-to-end
 rasterize forward + gradient steps/s -> rays/s (= H*W*steps/s). The reference
-publishes no numbers (BASELINE.md), so vs_baseline compares against the last
-recorded run in bench_history.json (1.0 on first run).
+publishes no numbers (BASELINE.md), so vs_baseline is FIXED against the
+round-1 recorded result (4.08M rays/s, BASELINE.md "Round-1 measured
+results") — an absolute anchor, not a self-referential ratchet.
 """
 import json
 import os
@@ -80,16 +81,19 @@ def main():
 
     rays_per_s = W * H * iters / dt
 
+    # Fixed round-1 anchor (BASELINE.md): 4.08M rays/s fwd+bwd on this
+    # exact workload, TPU v5 lite single chip.
+    R1_BASELINE = 4.08e6
+    vs = rays_per_s / R1_BASELINE
+
     hist_path = os.path.join(os.path.dirname(__file__), "bench_history.json")
-    prev = None
-    if os.path.exists(hist_path):
-        try:
-            prev = json.load(open(hist_path)).get("rays_per_s")
-        except Exception:
-            prev = None
-    vs = rays_per_s / prev if prev else 1.0
     try:
-        json.dump({"rays_per_s": rays_per_s}, open(hist_path, "w"))
+        hist = []
+        if os.path.exists(hist_path):
+            old = json.load(open(hist_path))
+            hist = old if isinstance(old, list) else [old]
+        hist.append({"ts": time.time(), "rays_per_s": rays_per_s})
+        json.dump(hist, open(hist_path, "w"))
     except OSError:
         pass
 
