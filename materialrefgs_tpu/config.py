@@ -123,6 +123,9 @@ class OptimizationParams:
 
     voxel_size: float = -1.0
     depth_trunc: float = -1.0
+    # Unbounded (contracted-space) TSDF mesh extraction for real scenes
+    # (train_refreal.py:1443-1444: 'refreal'/'tnt' datasets).
+    unbounded_mesh: bool = False
     sdf_trunc: float = -1.0
     mesh_res: int = 512
     num_cluster: int = 1
@@ -209,6 +212,7 @@ def preset_refreal() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
             lambda_dist=1000.0,
             perceptual_loss_start_iter=16000,
             ref_score_loss_weight=0.01,
+            unbounded_mesh=True,
         ),
     )
 

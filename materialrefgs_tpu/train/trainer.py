@@ -811,7 +811,13 @@ class Trainer:
             pkg = self._render_view(i, "surfel")
             depths.append(np.asarray(pkg["surf_depth"]))
             alphas.append(np.asarray(pkg["rend_alpha"])[..., 0])
-        verts, faces = me.extract_mesh(
+        # Real unbounded scenes use the contracted-space extractor
+        # (train_refreal.py:1443-1444); preset flag, not a path heuristic.
+        extract = (
+            me.extract_mesh_unbounded if self.opt.unbounded_mesh
+            else me.extract_mesh
+        )
+        verts, faces = extract(
             self.cameras, depths, alphas, resolution=self.mesh_resolution
         )
         if self.mesh_dir:

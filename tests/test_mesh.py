@@ -47,6 +47,26 @@ def test_sphere_reconstruction():
     assert float(np.std(r)) < 0.1
 
 
+def test_sphere_reconstruction_unbounded():
+    """Contracted-space extractor (refreal/tnt path, mesh_utils.py:309)
+    recovers the same unit sphere."""
+    cams, depths, alphas = [], [], []
+    for i in range(12):
+        ang = 2 * np.pi * i / 12
+        el = 0.4 * np.sin(3 * ang)
+        eye = 3.0 * np.array([np.sin(ang), el, -np.cos(ang)])
+        cam = look_at_camera(eye, np.zeros(3), np.array([0.0, 1.0, 0.0]), 0.9, 0.9, 64, 64)
+        d, a = sphere_depth(cam)
+        cams.append(cam)
+        depths.append(d)
+        alphas.append(a)
+
+    verts, faces = me.extract_mesh_unbounded(cams, depths, alphas, resolution=96)
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts, axis=-1)
+    assert abs(float(np.median(r)) - 1.0) < 0.2, float(np.median(r))
+
+
 def test_mesh_ply_roundtrip(tmp_path):
     verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     faces = np.array([[0, 1, 2]], np.int32)
