@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--seed", type=int, default=3407)
     ap.add_argument("--log_every", type=int, default=100)
     ap.add_argument("--checkpoint_iterations", type=int, nargs="+", default=None)
+    ap.add_argument("--checkpoint_every", type=int, default=0,
+                    help="save a full resume checkpoint every N iterations")
     ap.add_argument("--test_every", type=int, default=0,
                     help="evaluate test-set PSNR every N iters (psnr.json)")
     ap.add_argument("--start_checkpoint", default=None,
@@ -243,6 +245,10 @@ def main():
     logger = TrainLogger(args.model_path)
     save_iters = args.save_iterations or [opt.iterations]
     ckpt_iters = set(args.checkpoint_iterations or [])
+    if args.checkpoint_every:
+        ckpt_iters |= set(
+            range(args.checkpoint_every, opt.iterations + 1, args.checkpoint_every)
+        )
     test_every = args.test_every
     marks = set(save_iters) | ckpt_iters | {opt.iterations}
     if test_every:
@@ -305,6 +311,11 @@ def main():
             trainer.mine_ref_scores()
         if trainer.metrics_log:
             logger.scalars(target, trainer.metrics_log[-1])
+            # Flush the scalar log at every mark: an interrupted run keeps
+            # its curve (an early kill otherwise loses everything, since
+            # the full dump below only happens at save marks).
+            with open(os.path.join(args.model_path, "train_log.json"), "w") as f:
+                json.dump(trainer.metrics_log, f)
         if test_every and target % test_every == 0 and scene.test_cameras:
             from materialrefgs_tpu.evaluate import render_set
 
