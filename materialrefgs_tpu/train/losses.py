@@ -109,6 +109,54 @@ def smooth_loss_simple(data):
     return jnp.mean(jnp.sum(jnp.abs(spatial_gradient(data)), axis=-1))
 
 
+def _lap_kernel(size: int = 5, sigma: float = 2.0):
+    """Reference build_gauss_kernel (utils/lap_loss.py:10-24), quirks intact:
+    gaussian(x) = exp((x-c)^2 / (-2 s^2))**2 evaluated on the 2-axis mgrid
+    then SUMMED over the axes — a cross-shaped kernel, not a separable 2D
+    gaussian. Kept bit-for-bit for parity."""
+    import numpy as np
+
+    grid = np.float32(np.mgrid[0:size, 0:size].T)  # (size, size, 2)
+    g = np.exp((grid - size // 2) ** 2 / (-2.0 * sigma**2)) ** 2
+    k = np.sum(g, axis=2)
+    return jnp.asarray(k / k.sum(), jnp.float32)
+
+
+def lap_loss(x, y, max_levels: int = 5, k_size: int = 5, sigma: float = 2.0):
+    """Laplacian-pyramid L1 (utils/lap_loss.py LapLoss; the loss_utils.py:44
+    wrapper feeds 2*img-1). x, y: (H, W, C) in [0, 1]. Sum-reduced L1 over
+    all pyramid levels plus the final low-pass residual."""
+    x = 2.0 * x - 1.0
+    y = 2.0 * y - 1.0
+    k = _lap_kernel(k_size, sigma)
+    p = k_size // 2
+
+    def blur(img):
+        C = img.shape[-1]
+        padded = jnp.pad(img, ((p, p), (p, p), (0, 0)), mode="edge")
+        w = jnp.tile(k[:, :, None, None], (1, 1, 1, C))  # (kh, kw, 1, C)
+        return jax.lax.conv_general_dilated(
+            padded[None], w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        )[0]
+
+    def avgpool2(img):
+        return (
+            jax.lax.reduce_window(
+                img, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID"
+            )
+            / 4.0
+        )
+
+    total = jnp.float32(0.0)
+    cx, cy = x, y
+    for _ in range(max_levels):
+        bx, by = blur(cx), blur(cy)
+        total = total + jnp.sum(jnp.abs((cx - bx) - (cy - by)))
+        cx, cy = avgpool2(bx), avgpool2(by)
+    return total + jnp.sum(jnp.abs(cx - cy))
+
+
 def lncc(ref, nea):
     """Patch NCC (loss_utils.py:230-263). ref/nea (B, ps*ps) grayscale patches.
 
