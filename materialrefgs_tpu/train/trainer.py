@@ -261,9 +261,15 @@ def make_train_step(
                 use_ncc=opt.multi_view_ncc_weight > 0 and opt.use_multi_view_trim,
             )
             gate_w = (it > opt.multi_view_weight_from_iter).astype(jnp.float32)
+            # Virtual-camera steps have no GT for the nearest view: only the
+            # geometric reprojection term applies (train_refnerf.py:511
+            # gates every patch loss on use_virtul_cam is False).
+            photo_w = extra.get("warp_photo_weight", jnp.float32(1.0))
             loss = loss + gate_w * (
-                wl.geo_loss + wl.ncc_loss + wl.base_color_loss
-                + wl.metallic_warp_loss + wl.roughness_warp_loss
+                wl.geo_loss + photo_w * (
+                    wl.ncc_loss + wl.base_color_loss
+                    + wl.metallic_warp_loss + wl.roughness_warp_loss
+                )
             )
             tb["loss_warp_geo"] = wl.geo_loss
             tb["loss_warp_bc"] = wl.base_color_loss
@@ -444,9 +450,13 @@ class Trainer:
         use_mesh_visibility: bool = True,  # mesh-traced specular occlusion
         mesh_tri_capacity: int = 1 << 16,
         mesh_resolution: int = 128,  # TSDF grid resolution
+        virtual_cam_trans_noise: float = 1.5,  # ModelParams.multi_view_max_dis
+        virtual_cam_deg_noise: float = 30.0,  # ModelParams.multi_view_max_angle
     ):
         self.opt = opt
         self.pipe = pipe
+        self.virtual_cam_trans_noise = virtual_cam_trans_noise
+        self.virtual_cam_deg_noise = virtual_cam_deg_noise
         self.cameras = cameras
         # Hard requirement when the flag is on: silent no-op perceptual loss
         # was a round-1 defect (VERDICT §missing 1).
@@ -601,13 +611,31 @@ class Trainer:
                 self.with_warp
                 and stage in ("surfel", "surfel2")
                 and iteration > opt.multi_view_weight_from_iter
-                and len(self.nearest_ids[cam_id]) > 0
+                and (len(self.nearest_ids[cam_id]) > 0 or opt.use_virtul_cam)
             )
             if warp_on:
-                nid = self.nearest_ids[cam_id][
-                    self.rng.integers(len(self.nearest_ids[cam_id]))
-                ]
-                nearest_camera, nearest_gt = self.cameras[nid], self.images[nid]
+                # Virtual-camera branch (train_refnerf.py:454-457): with prob
+                # virtul_cam_prob (or when no neighbor exists) warp against a
+                # noise-perturbed virtual view; only the geometric term fires.
+                use_virtual = opt.use_virtul_cam and (
+                    self.rng.random() < opt.virtul_cam_prob
+                    or len(self.nearest_ids[cam_id]) == 0
+                )
+                if use_virtual:
+                    from materialrefgs_tpu.cameras import gen_virtual_cam
+
+                    nearest_camera = gen_virtual_cam(
+                        camera, self.rng,
+                        trans_noise=self.virtual_cam_trans_noise,
+                        deg_noise=self.virtual_cam_deg_noise,
+                    )
+                    nearest_gt = gt
+                else:
+                    nid = self.nearest_ids[cam_id][
+                        self.rng.integers(len(self.nearest_ids[cam_id]))
+                    ]
+                    nearest_camera, nearest_gt = self.cameras[nid], self.images[nid]
+                extra["warp_photo_weight"] = jnp.float32(0.0 if use_virtual else 1.0)
             else:
                 nearest_camera, nearest_gt = camera, gt
 

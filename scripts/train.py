@@ -237,6 +237,8 @@ def main():
         mesh_dir=os.path.join(args.model_path, "meshes"),
         mesh_every=args.mesh_every,
         use_mesh_visibility=not args.no_mesh_visibility,
+        virtual_cam_trans_noise=model_params.multi_view_max_dis,
+        virtual_cam_deg_noise=model_params.multi_view_max_angle,
     )
 
     os.makedirs(args.model_path, exist_ok=True)
