@@ -160,6 +160,8 @@ def create_from_points(
     capacity: int,
     max_sh_degree: int = 3,
     rng: np.random.Generator | None = None,
+    init_refl: float = INIT_REFL,  # opt.init_refl_value
+    init_roughness: float = INIT_ROUGHNESS,  # opt.init_roughness_value
 ) -> GaussianModel:
     """create_from_pcd (gaussian_model.py:355-433) with fixed capacity."""
     rng = rng or np.random.default_rng(3407)
@@ -195,9 +197,9 @@ def create_from_points(
         opacity=padded(
             np.full((P, 1), inv_sig(INIT_OPACITY), np.float32), fill=-15.0
         ),
-        refl_strength=padded(np.full((P, 1), inv_sig(INIT_REFL), np.float32)),
+        refl_strength=padded(np.full((P, 1), inv_sig(init_refl), np.float32)),
         metalness=padded(np.full((P, 1), inv_sig(INIT_METALNESS), np.float32)),
-        roughness=padded(np.full((P, 1), inv_sig(INIT_ROUGHNESS), np.float32)),
+        roughness=padded(np.full((P, 1), inv_sig(init_roughness), np.float32)),
         ori_color=padded(np.asarray(np.log(ori / (1 - ori)), np.float32)),
         diffuse_color=padded(np.asarray(np.log(dif / (1 - dif)), np.float32)),
         features_dc=padded(np.asarray(f_dc, np.float32)[:, None, :]),

@@ -324,6 +324,19 @@ def make_train_step(
         loss = loss + gate * extra["lambda_normal_render_depth"] * ln
         tb["loss_normal_render_depth"] = ln
 
+        # Env-scope: penalize refl_strength outside the scene sphere
+        # (train_refnerf.py:1022-1027, 1335-1338; weight 0.4).
+        if opt.use_env_scope and stage in ("surfel", "surfel2", "volume"):
+            center = jnp.asarray(opt.env_scope_center, jnp.float32)
+            outside = (
+                jnp.sum((model.params.xyz - center) ** 2, axis=-1)
+                > opt.env_scope_radius**2
+            ) & model.alive
+            denom = jnp.maximum(jnp.sum(outside), 1.0)
+            refl_msk_loss = jnp.sum(model.get_refl[:, 0] * outside) / denom
+            loss = loss + 0.4 * refl_msk_loss
+            tb["loss_refl_msk"] = refl_msk_loss
+
         # Mask entropy after the volume stage (train_refnerf.py:1211-1220).
         if stage in ("surfel", "surfel2") and "image_mask" in extra:
             o = jnp.clip(pkg["rend_alpha"], 1e-6, 1 - 1e-6)
@@ -720,10 +733,20 @@ class Trainer:
             st = st.replace(model=model, opt_state=opt_state)
 
         has_reset0 = False
-        if iteration % opacity_reset_interval == 0:
+        # White-bg scenes get one extra reset right at densify_from
+        # (train_refnerf.py:1436).
+        white_bg_kick = (
+            bool(np.all(np.asarray(self.bg) == 1.0))
+            and iteration == opt.densify_from_iter
+        )
+        if iteration % opacity_reset_interval == 0 or white_bg_kick:
             has_reset0 = True
+            outside = self._outside_msk()
             model = gm.reset_opacity0(st.model)
-            model = gm.reset_refl(model)
+            # Past indirect_from the reset value is pinned to 0.1
+            # (train_refnerf.py:1440-1443).
+            rv = 0.1 if iteration > opt.indirect_from_iter else None
+            model = gm.reset_refl(model, exclusive_msk=outside, rst_value=rv)
             opt_state = gm.zero_adam_param(st.opt_state, "opacity")
             opt_state = gm.zero_adam_param(opt_state, "refl_strength")
             st = st.replace(model=model, opt_state=opt_state)
@@ -747,11 +770,12 @@ class Trainer:
             st = st.replace(env_gs=env_gs, env_gs_opt_state=env_opt)
 
         if in_prop and iteration % opt.normal_prop_interval == 0 and not has_reset0:
-            model = gm.reset_opacity1(st.model)
+            outside = self._outside_msk()
+            model = gm.reset_opacity1(st.model, exclusive_msk=outside)
             if iteration > opt.volume_render_until_iter > opt.init_until_iter:
                 self.key, sub = jax.random.split(self.key)
-                model = gm.dist_color(model, sub)
-            model = gm.reset_scale(model)
+                model = gm.dist_color(model, sub, exclusive_msk=outside)
+            model = gm.reset_scale(model, exclusive_msk=outside)
             opt_state = gm.zero_adam_param(st.opt_state, "opacity")
             opt_state = gm.zero_adam_param(opt_state, "scaling")
             st = st.replace(model=model, opt_state=opt_state)
@@ -759,6 +783,18 @@ class Trainer:
                 st = st.replace(opacity_lr_scale=jnp.float32(0.0))
         self.state = st
 
+
+    def _outside_msk(self):
+        """get_outside_msk (train_refnerf.py:1332-1333): gaussians outside
+        the env-scope sphere are excluded from material/scale resets."""
+        if not self.opt.use_env_scope:
+            return None
+        st = self.state
+        center = jnp.asarray(self.opt.env_scope_center, jnp.float32)
+        return (
+            jnp.sum((st.model.params.xyz - center) ** 2, axis=-1)
+            > self.opt.env_scope_radius**2
+        )
 
     def _render_view(self, cam_id: int, stage: str):
         """Forward render for vis/mesh (no grads)."""

@@ -268,14 +268,17 @@ def calc_warp_loss(
 
     metallic_warp_loss = jnp.float32(0.0)
     roughness_warp_loss = jnp.float32(0.0)
+    # Metallic/roughness warps have their own start gate
+    # (train_refnerf.py:1274-1277, opt.rghmtl_warp_loss_start_iter).
+    gate_rm = gate_bc * (it > opt.rghmtl_warp_loss_start_iter).astype(jnp.float32)
     if opt.use_metallic_warp_loss:
         metallic_warp_loss = (
-            gate_bc * 0.5 * opt.metallic_warp_weight
+            gate_rm * 0.5 * opt.metallic_warp_weight
             * directional_warp("refl_strength_map", "max")
         )
     if opt.use_roughness_warp_loss:
         roughness_warp_loss = (
-            gate_bc * 0.5 * opt.roughness_warp_weight
+            gate_rm * 0.5 * opt.roughness_warp_weight
             * directional_warp("roughness_map", "min")
         )
 

@@ -212,6 +212,8 @@ def main():
             pcd.points, pcd.colors, capacity=args.capacity,
             max_sh_degree=model_params.sh_degree,
             rng=np.random.default_rng(args.seed),
+            init_refl=opt.init_refl_value,
+            init_roughness=opt.init_roughness_value,
         )
         print(f"Initialized {len(pcd.points)} gaussians (capacity {args.capacity})")
 
