@@ -164,6 +164,8 @@ def make_train_step(
     lpips_weights: dict | None = None,
     axis_name: str | None = None,
     jit: bool = True,
+    env_min_roughness: float = 0.08,  # ModelParams.envmap_min_roughness
+    env_max_roughness: float = 0.5,  # ModelParams.envmap_max_roughness
 ):
     """Returns jitted step(state, camera, gt, extra, nearest_camera,
     nearest_gt) -> (state, metrics).
@@ -197,9 +199,15 @@ def make_train_step(
         if stage == "initial":
             return render_initial(model, camera, bg, ropts, offset)
         if stage == "volume":
-            mips = EnvLightMips.build(env2, n_samples=envmap_n_samples)
+            mips = EnvLightMips.build(
+                env2, n_samples=envmap_n_samples,
+                min_roughness=env_min_roughness, max_roughness=env_max_roughness,
+            )
             return render_volume(model, camera, bg, mips, ropts, offset)
-        mips = EnvLightMips.build(env1, n_samples=envmap_n_samples)
+        mips = EnvLightMips.build(
+            env1, n_samples=envmap_n_samples,
+            min_roughness=env_min_roughness, max_roughness=env_max_roughness,
+        )
         if stage == "surfel2":
             from materialrefgs_tpu.render.envgs import render_surfel2
 
@@ -465,11 +473,15 @@ class Trainer:
         mesh_resolution: int = 128,  # TSDF grid resolution
         virtual_cam_trans_noise: float = 1.5,  # ModelParams.multi_view_max_dis
         virtual_cam_deg_noise: float = 30.0,  # ModelParams.multi_view_max_angle
+        envmap_min_roughness: float = 0.08,
+        envmap_max_roughness: float = 0.5,
     ):
         self.opt = opt
         self.pipe = pipe
         self.virtual_cam_trans_noise = virtual_cam_trans_noise
         self.virtual_cam_deg_noise = virtual_cam_deg_noise
+        self.envmap_min_roughness = envmap_min_roughness
+        self.envmap_max_roughness = envmap_max_roughness
         self.cameras = cameras
         # Hard requirement when the flag is on: silent no-op perceptual loss
         # was a round-1 defect (VERDICT §missing 1).
@@ -556,6 +568,8 @@ class Trainer:
                 with_mono_normal=self.normal_priors is not None,
                 tracer_cfg=self.tracer_cfg,
                 lpips_weights=self.lpips_weights,
+                env_min_roughness=self.envmap_min_roughness,
+                env_max_roughness=self.envmap_max_roughness,
             )
         return self._steps[key]
 

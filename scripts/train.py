@@ -241,6 +241,9 @@ def main():
         use_mesh_visibility=not args.no_mesh_visibility,
         virtual_cam_trans_noise=model_params.multi_view_max_dis,
         virtual_cam_deg_noise=model_params.multi_view_max_angle,
+        envmap_res=model_params.envmap_max_res,
+        envmap_min_roughness=model_params.envmap_min_roughness,
+        envmap_max_roughness=model_params.envmap_max_roughness,
     )
 
     os.makedirs(args.model_path, exist_ok=True)
