@@ -197,10 +197,14 @@ def calc_warp_loss(
 
     patch_ref = norm_coords(ori_patch)
 
-    # Edge mask + background mask (train_refnerf.py:446-452, 620-636).
-    edges_ok = edges_mask_from_normal(
-        render_pkg["rend_normal"], dilate_size=opt.dilate_size
-    ).reshape(-1)[idx]
+    # Edge mask + background mask (train_refnerf.py:446-452, 620-636);
+    # edge awareness is a config gate (opt.edge_aware_in_warp, :438).
+    if opt.edge_aware_in_warp:
+        edges_ok = edges_mask_from_normal(
+            render_pkg["rend_normal"], dilate_size=opt.dilate_size
+        ).reshape(-1)[idx]
+    else:
+        edges_ok = jnp.ones((sample_num,), bool)
     mask_val = grid_sample(image_mask[..., None], patch_ref.reshape(-1, 2)).reshape(
         sample_num, total_patch
     )
@@ -253,17 +257,22 @@ def calc_warp_loss(
         * jnp.sum(bc_diff * w_sel) / jnp.maximum(jnp.sum(sel_valid), 1)
     )
 
-    # Directional metallic / roughness warp (train_refnerf.py:650-676).
+    # Directional metallic / roughness warp (train_refnerf.py:650-676);
+    # opt.directional_rghmtl_warp_alignment=False falls back to plain
+    # symmetric-difference alignment (:661-662, :675-676).
     def directional_warp(name, direction):
         a = sample_map(render_pkg[name], jax.lax.stop_gradient(patch_ref))[..., 0]
         b = sample_map(nearest_pkg[name], jax.lax.stop_gradient(patch_near))[..., 0]
+        m = bg_edge_ok & sel_valid
+        if not opt.directional_rghmtl_warp_alignment:
+            l = jnp.mean(jnp.abs(a - b), axis=-1) * w_sel
+            return jnp.sum(jnp.where(m, l, 0.0)) / jnp.maximum(jnp.sum(m), 1)
         tgt = jax.lax.stop_gradient(
             jnp.maximum(a, b) if direction == "max" else jnp.minimum(a, b)
         )
         vw = jnp.mean(tgt, axis=-1) if direction == "max" else 1.0
         l = vw * jnp.mean(jnp.abs(a - tgt), axis=-1) * w_sel
         l = l + vw * jnp.mean(jnp.abs(b - tgt), axis=-1) * w_sel
-        m = bg_edge_ok & sel_valid
         return jnp.sum(jnp.where(m, robust_L(l), 0.0)) / jnp.maximum(jnp.sum(m), 1)
 
     metallic_warp_loss = jnp.float32(0.0)
