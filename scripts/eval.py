@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--preset", default="refnerf", choices=["refnerf", "refreal", "glossy"])
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--skip_test", action="store_true")
+    ap.add_argument("--relight", default=None, metavar="HDR",
+                    help="render under a NEW environment: load this HDR as "
+                         "the env light instead of the trained cubemap "
+                         "(reference load_ply(relight=True), "
+                         "gaussian_model.py:813-815)")
     ap.add_argument("--export_material_mesh", action="store_true",
                     help="write fuse_post_material.ply: the extracted mesh "
                          "with per-vertex rgb/normal/diffuse/albedo/"
@@ -94,6 +99,11 @@ def main():
     ply = os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply")
     print(f"Loading {ply}")
     model, env1, env2 = gaussian_io.load_ply(ply, max_sh_degree=model_params.sh_degree)
+    if args.relight:
+        from materialrefgs_tpu.models.env_light import load_envlight_from_hdr
+
+        env1 = load_envlight_from_hdr(args.relight, res=model_params.envmap_max_res)
+        print(f"Relighting with {args.relight}")
     env1 = env1 or EnvLightParams.create(model_params.envmap_max_res)
     mips = EnvLightMips.build_jit(env1)
 
