@@ -185,8 +185,10 @@ def marching_tetrahedra(tsdf: np.ndarray, weight: np.ndarray, origin, voxel, iso
     return verts.astype(np.float32), faces[good]
 
 
-def keep_largest_component(verts: np.ndarray, faces: np.ndarray):
-    """post_process_mesh (mesh_utils.py:30): keep the largest cluster."""
+def keep_largest_component(verts: np.ndarray, faces: np.ndarray,
+                           n_keep: int = 1):
+    """post_process_mesh (mesh_utils.py:30): keep the `n_keep` largest
+    connected clusters (reference opt.num_cluster, default 1)."""
     if len(faces) == 0:
         return verts, faces
     from scipy.sparse import coo_matrix
@@ -197,10 +199,11 @@ def keep_largest_component(verts: np.ndarray, faces: np.ndarray):
         (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(len(verts), len(verts))
     )
     n, labels = connected_components(adj, directed=False)
-    if n <= 1:
+    if n <= n_keep:
         return verts, faces
-    largest = np.argmax(np.bincount(labels))
-    keep_v = labels == largest
+    counts = np.bincount(labels)
+    kept = np.argsort(counts)[::-1][:n_keep]
+    keep_v = np.isin(labels, kept)
     remap = -np.ones(len(verts), np.int64)
     remap[keep_v] = np.arange(keep_v.sum())
     keep_f = keep_v[faces].all(axis=1)
@@ -250,6 +253,7 @@ def extract_mesh(
     alphas: list[np.ndarray],
     resolution: int = 128,
     post_process: bool = True,
+    num_cluster: int = 1,
 ):
     """GaussianExtractor.reconstruction + extract_mesh_bounded equivalent."""
     centers = np.stack([np.asarray(c.camera_center) for c in cameras])
@@ -262,7 +266,7 @@ def extract_mesh(
     )
     verts, faces = marching_tetrahedra(tsdf, w, origin, voxel)
     if post_process:
-        verts, faces = keep_largest_component(verts, faces)
+        verts, faces = keep_largest_component(verts, faces, num_cluster)
     return verts, faces
 
 
@@ -286,6 +290,7 @@ def extract_mesh_unbounded(
     alphas: list[np.ndarray],
     resolution: int = 128,
     post_process: bool = True,
+    num_cluster: int = 1,
 ):
     """Unbounded scene variant (extract_mesh_unbounded, mesh_utils.py:309):
     TSDF over the CONTRACTED space [-2, 2]^3, marching tetrahedra, vertices
@@ -339,5 +344,5 @@ def extract_mesh_unbounded(
     if len(verts):
         verts = _uncontract(verts) * scale + center
     if post_process:
-        verts, faces = keep_largest_component(verts, faces)
+        verts, faces = keep_largest_component(verts, faces, num_cluster)
     return verts, faces

@@ -896,7 +896,8 @@ class Trainer:
             else me.extract_mesh
         )
         verts, faces = extract(
-            self.cameras, depths, alphas, resolution=self.mesh_resolution
+            self.cameras, depths, alphas, resolution=self.mesh_resolution,
+            num_cluster=self.opt.num_cluster,
         )
         if self.mesh_dir:
             os.makedirs(self.mesh_dir, exist_ok=True)
