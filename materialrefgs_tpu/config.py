@@ -32,6 +32,8 @@ class ModelParams:
 
 @dataclass(frozen=True)
 class PipelineParams:
+    # Inert by design: CUDA-kernel plumbing switches in the reference
+    # (python-vs-CUDA SH/cov paths); no analog exists in the Pallas design.
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
     use_asg: bool = False
@@ -59,6 +61,8 @@ class OptimizationParams:
     refl_strength_lr: float = 0.005
     roughness_lr: float = 0.005
     metalness_lr: float = 0.01
+    # normal1/normal2 are frozen in the reference too (training_setup
+    # gaussian_model.py:434 never adds them to a param group with this lr).
     normal_lr: float = 0.006
     envmap_cubemap_lr: float = 0.01
 
@@ -150,6 +154,8 @@ class OptimizationParams:
     use_roughness_warp_loss: bool = True
     metallic_warp_weight: float = 0.05
     roughness_warp_weight: float = 0.05
+    # Inert in the reference as well: the bg+edge mask is always applied
+    # in the warp (train_refnerf.py:628-631 reads neither flag).
     use_backgroud_mask: bool = True
     directional_rghmtl_warp_alignment: bool = True
     dilate_size: int = 7
@@ -157,12 +163,18 @@ class OptimizationParams:
 
     ref_score_start_iter: int = 10000
     ref_score_loss_weight: float = 0.01
+    # Belongs to a commented-out ref-score variant in the reference
+    # (train_refnerf.py:1279-1300); the live path uses 0.5*ref_score_loss_weight.
     ref_score_loss_inv_weight: float = 0.005
 
+    # The live reference applies unweighted smooth_loss inside the
+    # ref-score mask (train_refreal.py:1261); these weights belong to the
+    # commented-out variant and are kept for CLI-surface parity only.
     use_albedo_smoothness: bool = False
     lambda_albedo_smoothness: float = 0.015
     albedo_smoothness_start_iter: int = 10000
 
+    # Dead in the reference (only in commented ref-score code, :1286-1300).
     tel_thres: float = 0.1
 
 
