@@ -114,7 +114,6 @@ def _fwd_kernel(
     inside = (pix_x < W) & (pix_y < H)
 
     m_strict = _tri_strict(K)
-    m_incl = _tri_incl(K)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
     def start_copy(chunk_i):
@@ -203,15 +202,15 @@ def _fwd_kernel(
         a = jnp.where(ok, alpha, 0.0)
 
         # Log-transmittance prefix (the sequential scan as a matmul).
+        # lg @ m_incl == lg @ m_strict + lg exactly (m_incl = m_strict + I),
+        # so the inclusive prefix is one elementwise add, not a second
+        # (256,K)@(K,K) matmul.
         lg = jnp.log1p(-a)
         logT_excl = logT + jax.lax.dot_general(
             lg, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=MM_PRECISION,
         )
-        logT_incl = logT + jax.lax.dot_general(
-            lg, m_incl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=MM_PRECISION,
-        )
+        logT_incl = logT_excl + lg
         included = logT_incl >= LOG_T_STOP
         w = a * jnp.exp(logT_excl) * included.astype(jnp.float32)
 
@@ -229,18 +228,16 @@ def _fwd_kernel(
 
         depth_acc = depth_acc + jnp.sum(w * depth_px, axis=1, keepdims=True)
         # Distortion (forward.cu:407-415): exclusive prefixes + carries.
-        A_excl = w_sum + jax.lax.dot_general(
-            w, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        # One stacked (3*256, K)@(K, K) dot instead of three (256, K) dots:
+        # identical math, one MXU pipeline fill instead of three.
+        pref = jax.lax.dot_general(
+            jnp.concatenate([w, wm, wm2], axis=0), m_strict,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=MM_PRECISION,
         )
-        M1_excl = wm_sum + jax.lax.dot_general(
-            wm, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=MM_PRECISION,
-        )
-        M2_excl = wm2_sum + jax.lax.dot_general(
-            wm2, m_strict, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=MM_PRECISION,
-        )
+        A_excl = w_sum + pref[:PIX]
+        M1_excl = wm_sum + pref[PIX : 2 * PIX]
+        M2_excl = wm2_sum + pref[2 * PIX :]
         dist_acc = dist_acc + jnp.sum(
             w * (m_ndc * m_ndc * A_excl + M2_excl - 2.0 * m_ndc * M1_excl),
             axis=1,
