@@ -611,6 +611,21 @@ class Trainer:
                 # indirect transition (train_refnerf.py:1036-1046, :1459).
                 self._extract_mesh(iteration)
 
+            # Volume -> surfel transition: re-init materials
+            # (reset_gaussian_para, train_refnerf.py:1152-1153, :1508-1521).
+            if (
+                iteration == opt.volume_render_until_iter + 1
+                and opt.volume_render_until_iter > opt.init_until_iter
+            ):
+                self.key, sub = jax.random.split(self.key)
+                m = gm.reset_ori_color(self.state.model, sub)
+                m = gm.reset_refl_strength(m, 0.1)
+                m = gm.reset_roughness(m, opt.init_roughness_value)
+                opt_state = self.state.opt_state
+                for name in ("ori_color", "refl_strength", "roughness"):
+                    opt_state = gm.zero_adam_param(opt_state, name)
+                self.state = self.state.replace(model=m, opt_state=opt_state)
+
             # SH degree ladder (train_refnerf.py:1109-1111).
             if iteration > opt.feature_rest_from_iter and iteration % 1000 == 0:
                 self.state = self.state.replace(model=self.state.model.oneup_sh_degree())
