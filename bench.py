@@ -68,7 +68,10 @@ def main():
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
 
-    # Warmup / compile.
+    # Warmup / compile — and guard the headline number: a nonzero binning
+    # overflow would mean dropped pairs (less work, inflated rays/s).
+    ovf = int(rasterize(*args, camera=cam, bg_color=bg, config=cfg)["overflow"])
+    assert ovf == 0, f"bench scene overflows pair capacity by {ovf}"
     g = step(*args)
     jax.block_until_ready(g)
 

@@ -87,12 +87,25 @@ def render_set(
 
     run_jit = jax.jit(run)
     normal_maes = []
+    cull_warned = False
     for idx, (cam, gt) in enumerate(zip(cameras, images)):
         t0 = time.perf_counter()
         pkg = run_jit(cam)
         jax.block_until_ready(pkg["render"])
         times.append(time.perf_counter() - t0)
         gt = jnp.asarray(gt)
+        if (
+            not cull_warned
+            and "mesh_cull_dropped" in pkg
+            and int(pkg["mesh_cull_dropped"]) > 0
+        ):
+            print(
+                f"[warn] eval view {idx}: mesh pre-cull dropped "
+                f"{int(pkg['mesh_cull_dropped'])} occluder clusters — "
+                f"visibility maps are truncated; raise TracerConfig."
+                f"mesh_cull_cap"
+            )
+            cull_warned = True
         psnrs.append(float(psnr(pkg["render"], gt)))
         ssims.append(float(ssim(pkg["render"], gt)))
         if gt_normals is not None:

@@ -243,6 +243,7 @@ def add_densification_stats(
     mean2d_grad: jax.Array,
     radii: jax.Array,
     ndc_scale: tuple[float, float] = (1.0, 1.0),
+    axis_name: str | None = None,
 ) -> GaussianModel:
     """gaussian_model.py:1059-1062: accumulate viewspace grad norms where
     the gaussian was visible (radii > 0).
@@ -257,12 +258,22 @@ def add_densification_stats(
     upd = (radii > 0) & model.alive
     g = mean2d_grad * jnp.asarray(ndc_scale, mean2d_grad.dtype)[None, :]
     gnorm = jnp.linalg.norm(g, axis=-1)
+    accum = jnp.where(upd, gnorm, 0.0)
+    denom = upd.astype(jnp.float32)
+    max_r = jnp.where(upd, jnp.maximum(model.max_radii2d, radii), model.max_radii2d)
+    if axis_name is not None:
+        # DP: each chip contributes ITS camera's per-view grad norm, like n
+        # sequential single-chip iterations would. Summing norms — not
+        # taking the norm of the pmean'd vector, where opposite-direction
+        # screen grads from different views cancel and densification
+        # silently under-fires vs the single-chip calibration.
+        accum = jax.lax.psum(accum, axis_name)
+        denom = jax.lax.psum(denom, axis_name)
+        max_r = jax.lax.pmax(max_r, axis_name)
     return model.replace(
-        xyz_gradient_accum=model.xyz_gradient_accum + jnp.where(upd, gnorm, 0.0),
-        denom=model.denom + upd.astype(jnp.float32),
-        max_radii2d=jnp.where(
-            upd, jnp.maximum(model.max_radii2d, radii), model.max_radii2d
-        ),
+        xyz_gradient_accum=model.xyz_gradient_accum + accum,
+        denom=model.denom + denom,
+        max_radii2d=max_r,
     )
 
 

@@ -235,7 +235,12 @@ def _trace_block_culled(mesh: MeshData, rays_o, rays_d, t_min, t_far, cull_cap):
     tn = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (R, NC)
     tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
     hit_c = (tf >= jnp.maximum(tn, t_min)) & (tn <= t_far)
-    any_hit = jnp.any(hit_c, axis=0)  # (NC,)
+    # Padding clusters carry inverted AABBs (lo=+inf, hi=-inf), which the
+    # slab test PASSES for every ray (tn=-inf, tf=+inf): without this mask
+    # they fill the cull_cap survivor list and evict real occluders at
+    # production capacities (mesh padded to mesh_tri_capacity).
+    cluster_ok = jnp.all(mesh.cluster_lo <= mesh.cluster_hi, axis=-1)  # (NC,)
+    any_hit = jnp.any(hit_c, axis=0) & cluster_ok  # (NC,)
 
     # Compact survivor cluster ids to cull_cap (ascending; padding id = NC).
     idx = jnp.where(any_hit, jnp.arange(NC, dtype=jnp.int32), NC)

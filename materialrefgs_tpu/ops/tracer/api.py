@@ -41,6 +41,9 @@ class TracerConfig:
     cluster_pair_capacity: int = 1 << 14
     tmin: float = 1e-3
     interpret: bool = False
+    # Mesh-tracer cluster pre-cull survivor budget per 256-ray block
+    # (ops.mesh_tracer.trace cull_cap); exact while cull_dropped == 0.
+    mesh_cull_cap: int = 64
 
 
 class _Prepared(NamedTuple):

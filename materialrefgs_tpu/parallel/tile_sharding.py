@@ -149,6 +149,20 @@ def dp_tp_render_grads(
     rows_local = grid_y // n_tp
     S = features.shape[-1]
     denom = float(n_dp * H * W)
+    # Pad GT rows to the tile grid so the last tp shard's dynamic slice is
+    # never clamped (a clamped start would score live rendered rows against
+    # the WRONG GT rows when H is not a multiple of TILE).
+    if grid_y * TILE != H:
+        gt_batch = jnp.concatenate(
+            [
+                gt_batch,
+                jnp.zeros(
+                    (n_dp, grid_y * TILE - H, *gt_batch.shape[2:]),
+                    gt_batch.dtype,
+                ),
+            ],
+            axis=1,
+        )
 
     def loss_of(means3d, scales, rotations, opacities, colors, features):
         def local(cam_b, gt_b):

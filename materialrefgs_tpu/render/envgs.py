@@ -185,11 +185,13 @@ def render_surfel2(
     indirect_light = indirect_results["render"]
 
     visibility = None
+    mesh_cull_dropped = jnp.int32(0)
     if mesh is not None:
         from materialrefgs_tpu.render.renderers import mesh_visibility_map
 
-        visibility = mesh_visibility_map(
-            mesh, camera, normal_map, regs["surf_depth"], render_alpha
+        visibility, mesh_cull_dropped = mesh_visibility_map(
+            mesh, camera, normal_map, regs["surf_depth"], render_alpha,
+            cull_cap=tracer_cfg.mesh_cull_cap, with_dropped=True,
         )
     elif with_visibility:
         visibility = trace_visibility(
@@ -233,6 +235,7 @@ def render_surfel2(
         "radii": out["radii"],
         "visibility_filter": out["radii"] > 0,
         "overflow": out["overflow"],
+        "mesh_cull_dropped": mesh_cull_dropped,
         **regs,
         **extra,
     }

@@ -319,12 +319,18 @@ def mesh_visibility_map(
     normal_map: jax.Array,  # (H, W, 3) alpha-divided world normal
     surf_depth: jax.Array,  # (H, W) or (H, W, 1)
     render_alpha: jax.Array | None = None,
-) -> jax.Array:
+    cull_cap: int | None = None,
+    with_dropped: bool = False,
+):
     """Mesh-traced specular visibility (refl_utils.py:319-330, :381-392):
     reflect camera rays at the unbiased-depth surface, nearest-hit the
     extracted mesh, vis = miss (depth >= 10). Non-differentiable in the
     reference (ray tracer has no grads) — stop_gradient keeps parity and
-    spares the backward trace."""
+    spares the backward trace.
+
+    with_dropped=True also returns the trace's cull_dropped counter; a
+    nonzero value means occluder clusters beyond cull_cap were ignored and
+    the caller should escalate (trainer does, like pair overflow)."""
     from materialrefgs_tpu.ops import mesh_tracer as mt
 
     if surf_depth.ndim == 2:
@@ -337,10 +343,13 @@ def mesh_visibility_map(
         mesh,
         jax.lax.stop_gradient(surf_points),
         jax.lax.stop_gradient(refl_dir),
+        cull_cap=cull_cap,
     )
     vis = (hit["depth"] >= mt.T_FAR).astype(jnp.float32)[..., None]
     if render_alpha is not None:
         vis = jnp.where(render_alpha <= 0.0, 1.0, vis)
+    if with_dropped:
+        return vis, hit["cull_dropped"]
     return vis
 
 

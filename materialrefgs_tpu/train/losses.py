@@ -125,7 +125,11 @@ def _lap_kernel(size: int = 5, sigma: float = 2.0):
 def lap_loss(x, y, max_levels: int = 5, k_size: int = 5, sigma: float = 2.0):
     """Laplacian-pyramid L1 (utils/lap_loss.py LapLoss; the loss_utils.py:44
     wrapper feeds 2*img-1). x, y: (H, W, C) in [0, 1]. Sum-reduced L1 over
-    all pyramid levels plus the final low-pass residual."""
+    all pyramid levels plus the final low-pass residual.
+
+    Library surface only, like the reference: the live calculate_loss has
+    its laploss term commented out (loss_utils.py:216-218), so no trainer
+    calls this — it exists for API parity (and is parity-tested)."""
     x = 2.0 * x - 1.0
     y = 2.0 * y - 1.0
     k = _lap_kernel(k_size, sigma)

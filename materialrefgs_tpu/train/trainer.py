@@ -357,6 +357,7 @@ def make_train_step(
             "tb": tb,
             "radii": pkg["radii"],
             "overflow": pkg["overflow"],
+            "mesh_cull_dropped": pkg.get("mesh_cull_dropped", jnp.int32(0)),
         }
         return loss, aux
 
@@ -373,13 +374,21 @@ def make_train_step(
             state.model.params, state.env1, state.env2, env_gs_params, offset,
             state, camera, gt, extra, nearest_camera, nearest_gt, mesh,
         )
+        # Densification stats use the LOCAL camera's screen-offset grad and
+        # radii (per-view norms summed inside add_densification_stats); the
+        # pmean'd goff would underestimate (cross-view cancellation).
+        goff_local = grads[-1]
+        radii_local = aux["radii"]
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
             aux = {
                 "tb": jax.lax.pmean(aux["tb"], axis_name),
-                "radii": jax.lax.pmax(aux["radii"], axis_name),
+                "radii": radii_local,
                 "overflow": jax.lax.psum(aux["overflow"], axis_name),
+                "mesh_cull_dropped": jax.lax.psum(
+                    aux["mesh_cull_dropped"], axis_name
+                ),
             }
         if diff_env_gs:
             gp, ge1, ge2, geg, goff = grads
@@ -402,8 +411,9 @@ def make_train_step(
 
         model = state.model.replace(params=new_p)
         model = gm.add_densification_stats(
-            model, goff, aux["radii"],
+            model, goff_local, radii_local,
             ndc_scale=(0.5 * camera.width, 0.5 * camera.height),
+            axis_name=axis_name,
         )
 
         state = state.replace(
@@ -436,6 +446,7 @@ def make_train_step(
         metrics = {k: v for k, v in aux["tb"].items()}
         metrics["loss"] = loss
         metrics["overflow"] = aux["overflow"]
+        metrics["mesh_cull_dropped"] = aux["mesh_cull_dropped"]
         return state, metrics
 
     if not jit:
@@ -691,9 +702,20 @@ class Trainer:
             # dropped by the fixed-capacity sort, corrupting the render.
             # React like the CUDA rasterizer's dynamic buffer growth
             # (rasterizer_impl.cu resizeFunctional): escalate and recompile.
-            ovf = float(metrics["overflow"])
-            if ovf > 0:
-                self._escalate_pair_capacity(ovf, iteration)
+            # float() blocks the host on the step — syncing every iteration
+            # forfeits async dispatch. Truncation only needs a bounded
+            # reaction latency, so poll every OVERFLOW_CHECK_EVERY iters
+            # (plus the first few after any (re)start, when a fresh capacity
+            # is most likely wrong).
+            if iteration % self.OVERFLOW_CHECK_EVERY == 0 or iteration <= start_iter + 3:
+                ovf = float(metrics["overflow"])
+                if ovf > 0:
+                    self._escalate_pair_capacity(ovf, iteration)
+                # Mesh pre-cull truncation: clusters beyond mesh_cull_cap
+                # were ignored by the visibility trace -> escalate likewise.
+                mcd = float(metrics.get("mesh_cull_dropped", 0))
+                if mcd > 0:
+                    self._escalate_mesh_cull_cap(mcd, iteration)
 
             self._densify_and_reset(iteration, stage)
 
@@ -714,6 +736,28 @@ class Trainer:
         return self.state
 
     MAX_PAIR_CAPACITY = 1 << 23
+    OVERFLOW_CHECK_EVERY = 10
+    MAX_MESH_CULL_CAP = 1 << 11  # 2048 clusters = 131k tris per block
+
+    def _escalate_mesh_cull_cap(self, dropped: float, iteration: int):
+        """Double the mesh tracer's per-block cluster budget and retrace
+        (the cull is exact only while cull_dropped == 0)."""
+        import dataclasses as _dc
+
+        cap = self.tracer_cfg.mesh_cull_cap
+        if cap >= self.MAX_MESH_CULL_CAP:
+            print(
+                f"[warn] it={iteration}: mesh cull dropped {int(dropped)} "
+                f"clusters but mesh_cull_cap already at MAX ({cap})"
+            )
+            return
+        new_cap = cap * 2
+        print(
+            f"[warn] it={iteration}: mesh cull dropped {int(dropped)} "
+            f"clusters; mesh_cull_cap {cap} -> {new_cap} (retracing)"
+        )
+        self.tracer_cfg = _dc.replace(self.tracer_cfg, mesh_cull_cap=new_cap)
+        self._steps.clear()
 
     def _escalate_pair_capacity(self, overflow: float, iteration: int):
         """Double pair_capacity until the binning fits (bounded), then retrace
@@ -832,7 +876,11 @@ class Trainer:
         ropts = RenderOptions(
             unbiased_depth=self.pipe.unbiased_depth, raster=self.raster_cfg
         )
-        mips = EnvLightMips.build(self.state.env1, n_samples=8)
+        mips = EnvLightMips.build(
+            self.state.env1, n_samples=8,
+            min_roughness=self.envmap_min_roughness,
+            max_roughness=self.envmap_max_roughness,
+        )
         return jax.jit(render_surfel, static_argnames=("opts",))(
             self.state.model, self.cameras[cam_id], self.bg, mips, ropts
         )

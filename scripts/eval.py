@@ -105,7 +105,11 @@ def main():
         env1 = load_envlight_from_hdr(args.relight, res=model_params.envmap_max_res)
         print(f"Relighting with {args.relight}")
     env1 = env1 or EnvLightParams.create(model_params.envmap_max_res)
-    mips = EnvLightMips.build_jit(env1)
+    mips = EnvLightMips.build_jit(
+        env1,
+        min_roughness=model_params.envmap_min_roughness,
+        max_roughness=model_params.envmap_max_roughness,
+    )
 
     env_ply = os.path.join(pc_dir, f"iteration_{it}", "env_point_cloud.ply")
     env_model = None

@@ -28,7 +28,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
     from bench import build_scene
     from materialrefgs_tpu.cameras import look_at_camera
     from materialrefgs_tpu.ops.rasterize import binning

@@ -332,7 +332,11 @@ def main():
 
             from materialrefgs_tpu.train.trainer import select_stage
 
-            mips = EnvLightMips.build_jit(trainer.state.env1)
+            mips = EnvLightMips.build_jit(
+                trainer.state.env1,
+                min_roughness=model_params.envmap_min_roughness,
+                max_roughness=model_params.envmap_max_roughness,
+            )
             stage = select_stage(target, opt)
             m = render_set(
                 args.model_path, "test_eval", scene.test_cameras, test_imgs,

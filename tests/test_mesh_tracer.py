@@ -286,3 +286,33 @@ def test_culled_trace_cap_overflow_reported(sphere):
     d = (-o / np.linalg.norm(o, axis=-1, keepdims=True)).astype(np.float32)
     out = mt.trace(sphere, jnp.asarray(o), jnp.asarray(d), use_cull=True, cull_cap=8)
     assert int(out["cull_dropped"]) > 0
+
+
+def test_culled_trace_exact_with_heavy_padding():
+    """Regression: padding clusters carry inverted AABBs (+inf/-inf) that the
+    slab test passes for EVERY ray; without the cluster-valid mask they fill
+    the cull_cap survivor list and evict real occluders (the trainer pads
+    meshes to mesh_tri_capacity, so this is the production shape)."""
+    verts, faces = _icosphere(2)  # 320 tris -> 5 real clusters
+    # Pad way past the real geometry: 16384 tris -> 256 clusters, 251 padding.
+    padded = mt.build_mesh(verts, faces, pad_to=16384)
+    rng = np.random.default_rng(13)
+    R = 512
+    o = rng.normal(size=(R, 3)).astype(np.float32) * 0.2 + np.array(
+        [0, 0, -3], np.float32
+    )
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d[:, 2] += 2.0
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+    brute = mt.trace(padded, jnp.asarray(o), jnp.asarray(d), use_cull=False)
+    # cull_cap 64 < 251 padding clusters: only the valid-cluster mask makes
+    # the real 5 clusters survive.
+    culled = mt.trace(
+        padded, jnp.asarray(o), jnp.asarray(d), use_cull=True, cull_cap=64
+    )
+    assert int(culled["cull_dropped"]) == 0
+    assert int(jnp.sum(brute["tri"] >= 0)) > 100  # workload sanity: real hits
+    np.testing.assert_array_equal(
+        np.asarray(brute["tri"]), np.asarray(culled["tri"])
+    )
