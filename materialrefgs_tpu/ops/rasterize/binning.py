@@ -64,6 +64,15 @@ def bin_pairs(
     counts_g = pre.tiles_touched.astype(jnp.int32)  # (P,)
     cum = jnp.cumsum(counts_g)
     total = cum[-1]
+    # int32 cumsum can wrap for pathological scenes (millions of splats x
+    # hundreds of touched tiles — e.g. an optimizer blow-up inflating
+    # scales). A wrapped total would make raw_valid all-false and, worse,
+    # make the reported overflow NEGATIVE so the trainer's escalation never
+    # fires and the run silently renders background. Non-negative inputs
+    # make wrap detectable as a negative prefix anywhere; clamp the total
+    # to INT32_MAX so downstream mins/overflow stay loud.
+    wrapped = jnp.min(cum) < 0
+    total = jnp.where(wrapped, jnp.int32(2**31 - 1), total)
     offsets = (cum - counts_g).astype(jnp.int32)
 
     B = pair_capacity

@@ -2,6 +2,14 @@
 from __future__ import annotations
 
 TILE = 16
+# Single-source numerical contract constants (forward.cu:378-404,
+# auxiliary.h:39-41); preprocess/kernels/reference all import from here.
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+NEAR_N = 0.2
+FAR_N = 100.0
+FILTER_INV_SQUARE = 2.0
+CUTOFF = 3.0
 PIX = TILE * TILE  # 256 pixels per tile
 K_CHUNK = 128  # gaussians processed per inner step
 

@@ -46,14 +46,13 @@ from materialrefgs_tpu.ops.rasterize.layout import (
     payload_channels_padded,
     row_gid,
 )
-from materialrefgs_tpu.ops.rasterize.preprocess import (
+from materialrefgs_tpu.ops.rasterize.layout import (
+    ALPHA_MAX,
+    ALPHA_MIN,
     FAR_N,
     FILTER_INV_SQUARE,
     NEAR_N,
 )
-
-ALPHA_MIN = 1.0 / 255.0
-ALPHA_MAX = 0.99
 
 from materialrefgs_tpu.ops.rasterize.pallas_fwd import MM_PRECISION  # noqa: E402
 

@@ -17,8 +17,6 @@ pure-jnp reference in tests/test_rasterize_pallas.py).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from materialrefgs_tpu.ops.rasterize.layout import (
+    ALPHA_MAX,
+    ALPHA_MIN,
     DEAD,
     K_CHUNK,
     LOG_HALF,
@@ -43,14 +43,7 @@ from materialrefgs_tpu.ops.rasterize.layout import (
     out_layout,
     payload_channels_padded,
 )
-from materialrefgs_tpu.ops.rasterize.preprocess import (
-    FAR_N,
-    FILTER_INV_SQUARE,
-    NEAR_N,
-)
-
-ALPHA_MIN = 1.0 / 255.0
-ALPHA_MAX = 0.99
+from materialrefgs_tpu.ops.rasterize.layout import FAR_N, FILTER_INV_SQUARE, NEAR_N
 
 # Measured on TPU v5e: these (256,128)@(128,128) dots are pipeline-bound,
 # not MXU-throughput-bound — DEFAULT (1-pass bf16, rel err 2.4e-3) is NOT
@@ -66,12 +59,6 @@ def _tri_strict(K: int) -> jax.Array:
     r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
     return (r < c).astype(jnp.float32)
-
-
-def _tri_incl(K: int) -> jax.Array:
-    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    return (r <= c).astype(jnp.float32)
 
 
 def _fwd_kernel(
@@ -319,7 +306,7 @@ def _fwd_kernel(
         zeros1,  # med_depth
         jnp.full((PIX, 1), -1.0, jnp.float32),  # med_idx
         zeros1,  # n_contrib
-        jnp.where(inside, 0.0, 0.0),  # final_logT
+        jnp.zeros((PIX, 1), jnp.float32),  # final_logT (outside pixels cropped by _unpack)
     )
     carry = jax.lax.while_loop(cond, body, init)
 

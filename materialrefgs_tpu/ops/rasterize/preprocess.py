@@ -24,11 +24,13 @@ import jax.numpy as jnp
 from materialrefgs_tpu.cameras import Camera
 from materialrefgs_tpu.utils.transforms import quat_to_rotmat
 
-TILE = 16
-NEAR_N = 0.2
-FAR_N = 100.0
-FILTER_INV_SQUARE = 2.0
-CUTOFF = 3.0
+from materialrefgs_tpu.ops.rasterize.layout import (  # single source
+    CUTOFF,
+    FAR_N,
+    FILTER_INV_SQUARE,
+    NEAR_N,
+    TILE,
+)
 
 
 class PreprocessOut(NamedTuple):
@@ -135,11 +137,11 @@ def preprocess(
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
 
-    # Frustum cull (auxiliary.h:192): view-space z must exceed 0.2.
+    # Frustum cull (auxiliary.h:192): view-space z must exceed NEAR_N.
     ones = jnp.ones((P, 1), means3d.dtype)
     p_view = jnp.concatenate([means3d, ones], axis=-1) @ camera.world_view
     depth = p_view[..., 2]
-    in_front = depth > 0.2
+    in_front = depth > NEAR_N
 
     T_rows, world_normal = compute_transmat(
         means3d, scales, rotations, camera, scale_modifier
@@ -152,6 +154,11 @@ def preprocess(
     cos_ok = cos != 0.0
 
     center, extent, aabb_ok = compute_aabb(T_rows, CUTOFF)
+    # NOTE: like the CUDA reference (forward.cu:245), the rect radius is the
+    # 3-sigma projected extent with NO low-pass-filter floor — the 2D
+    # (rho2d) footprint of sub-pixel splats can exceed the rect and is
+    # clipped at tile boundaries. Kept intentionally: the kernel, the jnp
+    # reference, and the CUDA original all share this contract.
     radius = jnp.ceil(jnp.maximum(extent[..., 0], extent[..., 1]))
     rect_min, rect_max = get_rect(center, radius, grid_x, grid_y)
     nxy = jnp.maximum(rect_max - rect_min, 0)

@@ -24,8 +24,7 @@ from materialrefgs_tpu.ops.rasterize.preprocess import (
 )
 
 T_STOP = 1e-4
-ALPHA_MIN = 1.0 / 255.0
-ALPHA_MAX = 0.99
+from materialrefgs_tpu.ops.rasterize.layout import ALPHA_MAX, ALPHA_MIN  # single source
 
 
 def _per_gaussian_pixel_terms(pre: PreprocessOut, opacities, H, W):

@@ -132,3 +132,53 @@ def test_mean2d_offset_full_screen_shift_grad():
     e = zero.at[i, j].set(eps)
     fd = (float(f(e)) - float(f(-e))) / (2 * eps)
     np.testing.assert_allclose(g[i, j], fd, rtol=7e-2, atol=1e-5)
+
+
+def test_multichunk_forward_and_grad_parity(rng):
+    """>K_CHUNK(128) pairs per tile: exercises the cross-chunk logT carry,
+    DMA slot parity, backward carry_gw/carry_lg suffix chain, and the
+    zero_body/drain paths that single-chunk scenes (every other test) never
+    reach. 400 low-opacity splats piled on the image center give ~400 pairs
+    in each central tile with no early exit before lane 128."""
+    cam = make_cam(32, 32)
+    P = 400
+    means = (rng.normal(size=(P, 3)) * 0.05).astype(np.float32)
+    scales = np.exp(rng.normal(size=(P, 2)).astype(np.float32) * 0.3 - 1.2)
+    rots = rng.normal(size=(P, 4)).astype(np.float32)
+    # alpha ~0.02: T after 400 composites ~ 0.98^400 ~ 3e-4 > 1e-4 stop.
+    opac = rng.uniform(0.015, 0.03, size=(P,)).astype(np.float32)
+    colors = rng.uniform(size=(P, 3)).astype(np.float32)
+    feats = rng.uniform(size=(P, 4)).astype(np.float32)
+    args = tuple(jnp.asarray(a) for a in (means, scales, rots, opac, colors, feats))
+
+    out = rasterize(*args, camera=cam, bg_color=jnp.zeros(3), config=CFG)
+    ref = rasterize_reference(*args, camera=cam, bg_color=jnp.zeros(3))
+    assert int(out["overflow"]) == 0
+    # Workload sanity: the center tiles really do need multiple chunks.
+    assert int(jnp.max(out["n_contrib"])) > 128, int(jnp.max(out["n_contrib"]))
+    for k in ["render", "feature", "depth", "normal", "alpha", "distortion"]:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=3e-4, rtol=1e-3,
+            err_msg=k,
+        )
+
+    def loss_fn(fn):
+        def f(*a):
+            o = fn(*a, camera=cam, bg_color=jnp.zeros(3), **(
+                {"config": CFG} if fn is rasterize else {}
+            ))
+            return (
+                jnp.mean((o["render"] - 0.4) ** 2)
+                + 0.05 * jnp.mean(o["feature"])
+                + 0.01 * jnp.mean(o["depth"])
+                + 0.01 * jnp.mean(o["distortion"])
+            )
+        return f
+
+    g1 = jax.grad(loss_fn(rasterize), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g2 = jax.grad(loss_fn(rasterize_reference), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for n, a, b in zip(["means", "scales", "rots", "opac", "colors", "feats"], g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), n
+        s = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=4e-3 * s + 1e-5, err_msg=n)

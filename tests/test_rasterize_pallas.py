@@ -77,3 +77,27 @@ def test_nonmultiple_image_size():
         np.asarray(out["render"]), np.asarray(ref["render"]), atol=3e-4, rtol=1e-3
     )
     assert out["render"].shape == (29, 41, 3)
+
+
+def test_binning_int32_wrap_reports_loud_overflow():
+    """Pathological pair totals that wrap int32 (optimizer blow-up inflating
+    scales) must report a huge positive overflow — never a negative one that
+    would mute the trainer's capacity escalation."""
+    from materialrefgs_tpu.ops.rasterize import binning
+    from materialrefgs_tpu.ops.rasterize.preprocess import PreprocessOut
+
+    P = 4
+    big = np.int32(2**30)  # 4 * 2^30 wraps int32
+    pre = PreprocessOut(
+        T_rows=jnp.zeros((P, 3, 3)),
+        normal=jnp.zeros((P, 3)),
+        depth=jnp.arange(P, dtype=jnp.float32),
+        mean2d=jnp.zeros((P, 2)),
+        radius=jnp.ones(P),
+        rect_min=jnp.zeros((P, 2), jnp.int32),
+        rect_max=jnp.full((P, 2), 2, jnp.int32),
+        tiles_touched=jnp.full((P,), big, jnp.int32),
+        valid=jnp.ones(P, bool),
+    )
+    bins = binning.bin_pairs(pre, grid_x=4, grid_y=4, pair_capacity=256)
+    assert int(bins.overflow) > 0, int(bins.overflow)
