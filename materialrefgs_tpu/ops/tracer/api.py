@@ -174,6 +174,12 @@ def trace(
     cp_b = jnp.minimum(flat_idx // G, NB - 1)
     cp_c = jnp.minimum(flat_idx % G, G - 1)
     cp_valid = flat_idx < NB * G
+    # Stage-1 truncation is as silent as jnp.nonzero's size= contract —
+    # count it so the total overflow stays loud (the pairs beyond the cap
+    # belong to the HIGHEST-index bundles, i.e. whole image regions).
+    cluster_overflow = jnp.maximum(
+        jnp.sum(ok_bc.astype(jnp.int32)) - config.cluster_pair_capacity, 0
+    )
 
     # Stage 2: expand clusters to gaussians, exact per-gaussian cone test.
     lanes = jnp.arange(CLUSTER, dtype=jnp.int32)[None, :]
@@ -206,15 +212,15 @@ def trace(
     B = config.pair_capacity
     gauss_flat = gauss.reshape(-1)
     b_flat = b_of.reshape(-1)
-    pair_gauss = jnp.zeros(B, jnp.int32).at[seg.perm_pos].set(
-        jnp.where(okg.reshape(-1), gauss_flat, 0), mode="drop"
+    from materialrefgs_tpu.ops.segments import scatter_pairs
+
+    pair_gauss = scatter_pairs(
+        jnp.where(okg.reshape(-1), gauss_flat, 0), seg.perm_pos, B
     )
-    pair_bundle = jnp.zeros(B, jnp.int32).at[seg.perm_pos].set(
-        jnp.where(okg.reshape(-1), b_flat, 0), mode="drop"
+    pair_bundle = scatter_pairs(
+        jnp.where(okg.reshape(-1), b_flat, 0), seg.perm_pos, B
     )
-    pair_valid = jnp.zeros(B, bool).at[seg.perm_pos].set(
-        okg.reshape(-1), mode="drop"
-    )
+    pair_valid = scatter_pairs(okg.reshape(-1), seg.perm_pos, B, fill=False)
 
     R = quat_to_rotmat(rotations)
     tu_s = R[:, :, 0] / jnp.maximum(scales[:, 0:1], 1e-12)
@@ -256,5 +262,5 @@ def trace(
         "normal": normal,
         "acc": 1.0 - final_T,
         "final_T": final_T,
-        "overflow": seg.overflow,
+        "overflow": seg.overflow + cluster_overflow,
     }

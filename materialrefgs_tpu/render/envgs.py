@@ -34,10 +34,15 @@ TILE = 16
 
 
 def rays_to_bundles(x: jax.Array, H: int, W: int):
-    """(H, W, C) -> (NB*256, C) in 16x16 tile bundle order (padded)."""
+    """(H, W, C) -> (NB*256, C) in 16x16 tile bundle order (padded).
+
+    Edge padding replicates border rays: zero padding would give edge
+    bundles degenerate cone stats (zero directions -> cosm clipped ->
+    tan(theta)~1e3, origin at world 0 -> huge r0) that defeat cone culling
+    and blow the cluster-pair budget on every non-multiple-of-16 image."""
     gy, gx = (H + TILE - 1) // TILE, (W + TILE - 1) // TILE
     pad_h, pad_w = gy * TILE - H, gx * TILE - W
-    xp = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
+    xp = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
     xb = xp.reshape(gy, TILE, gx, TILE, -1).transpose(0, 2, 1, 3, 4)
     return xb.reshape(gy * gx * TILE * TILE, x.shape[-1])
 
@@ -120,7 +125,10 @@ def trace_visibility(
         sh_degree=0,
     )
     vis = 1.0 - out["acc"][:, None]
-    return jax.lax.stop_gradient(bundles_to_image(vis, H, W))
+    return (
+        jax.lax.stop_gradient(bundles_to_image(vis, H, W)),
+        out["overflow"],
+    )
 
 
 def render_surfel2(
@@ -186,6 +194,7 @@ def render_surfel2(
 
     visibility = None
     mesh_cull_dropped = jnp.int32(0)
+    tracer_overflow = indirect_results["overflow"]
     if mesh is not None:
         from materialrefgs_tpu.render.renderers import mesh_visibility_map
 
@@ -194,9 +203,10 @@ def render_surfel2(
             cull_cap=tracer_cfg.mesh_cull_cap, with_dropped=True,
         )
     elif with_visibility:
-        visibility = trace_visibility(
+        visibility, vis_overflow = trace_visibility(
             pc, camera, normal_map, regs["surf_depth"], tracer_cfg
         )
+        tracer_overflow = tracer_overflow + vis_overflow
 
     specular, extra = shading.specular_color_surfel(
         envmap,
@@ -235,6 +245,10 @@ def render_surfel2(
         "radii": out["radii"],
         "visibility_filter": out["radii"] > 0,
         "overflow": out["overflow"],
+        # Splat-tracer truncation (env-GS indirect + soft-visibility traces):
+        # surfaced separately so the trainer escalates tracer_cfg, not the
+        # rasterizer's pair capacity.
+        "tracer_overflow": tracer_overflow,
         "mesh_cull_dropped": mesh_cull_dropped,
         **regs,
         **extra,

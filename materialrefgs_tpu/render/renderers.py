@@ -213,7 +213,9 @@ def render_surfel(
         return results
 
     # Deferred shading with the *world-space* normal map divided by alpha
-    # (render_surfel:424-427).
+    # (render_surfel:424-427). Visibility applies either with traced
+    # indirect light (surfel contract, refl_utils.py:364-401) or alone
+    # (surfel2 flavor: masks direct light only).
     normal_map = regs["rend_normal"] / jnp.maximum(render_alpha, 1e-6)
     specular, extra = shading.specular_color_surfel(
         envmap,
@@ -223,19 +225,13 @@ def render_surfel(
         render_alpha,
         refl_map,
         rough_map,
-        visibility=visibility if opts.indirect else None,
+        visibility=visibility,
         indirect_light=(
             (traced_indirect if traced_indirect is not None else indirect_map)
             if opts.indirect
             else None
         ),
     )
-    if visibility is not None and not opts.indirect:
-        # surfel2 flavor: visibility masks direct light only.
-        specular, extra = shading.specular_color_surfel(
-            envmap, albedo_map, camera, normal_map, render_alpha,
-            refl_map, rough_map, visibility=visibility, indirect_light=None,
-        )
 
     final = (1 - refl_map) * base_color + specular
     albedo_out = albedo_map
@@ -378,7 +374,15 @@ def mesh_indirect_maps(
     rays_d, rays_o = shading.camera_rays_world(camera, unnormalized=True)
     surf_points = rays_o[None, None, :] + surf_depth * rays_d
     w_o = -normalize(rays_d)
-    out = mt.shade_one_bounce(mesh, envmap, surf_points, normal_map, w_o)
+    # The reference ray tracer is non-differentiable; stop_gradient keeps
+    # parity AND spares saving residuals for the whole Moller-Trumbore
+    # sweep (mesh_visibility_map does the same).
+    out = mt.shade_one_bounce(
+        mesh, envmap,
+        jax.lax.stop_gradient(surf_points),
+        jax.lax.stop_gradient(normal_map),
+        jax.lax.stop_gradient(w_o),
+    )
     vis, indirect = out["visibility"], out["indirect"]
     if render_alpha is not None:
         # Empty pixels: fully visible, no indirect (refl_utils.py:118-125

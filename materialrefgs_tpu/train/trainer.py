@@ -357,6 +357,7 @@ def make_train_step(
             "tb": tb,
             "radii": pkg["radii"],
             "overflow": pkg["overflow"],
+            "tracer_overflow": pkg.get("tracer_overflow", jnp.int32(0)),
             "mesh_cull_dropped": pkg.get("mesh_cull_dropped", jnp.int32(0)),
         }
         return loss, aux
@@ -386,6 +387,9 @@ def make_train_step(
                 "tb": jax.lax.pmean(aux["tb"], axis_name),
                 "radii": radii_local,
                 "overflow": jax.lax.psum(aux["overflow"], axis_name),
+                "tracer_overflow": jax.lax.psum(
+                    aux["tracer_overflow"], axis_name
+                ),
                 "mesh_cull_dropped": jax.lax.psum(
                     aux["mesh_cull_dropped"], axis_name
                 ),
@@ -446,6 +450,7 @@ def make_train_step(
         metrics = {k: v for k, v in aux["tb"].items()}
         metrics["loss"] = loss
         metrics["overflow"] = aux["overflow"]
+        metrics["tracer_overflow"] = aux["tracer_overflow"]
         metrics["mesh_cull_dropped"] = aux["mesh_cull_dropped"]
         return state, metrics
 
@@ -711,6 +716,11 @@ class Trainer:
                 ovf = float(metrics["overflow"])
                 if ovf > 0:
                     self._escalate_pair_capacity(ovf, iteration)
+                # Splat-tracer truncation (env-GS indirect / soft vis):
+                # escalate the TRACER's capacities, not the rasterizer's.
+                tovf = float(metrics.get("tracer_overflow", 0))
+                if tovf > 0:
+                    self._escalate_tracer_capacity(tovf, iteration)
                 # Mesh pre-cull truncation: clusters beyond mesh_cull_cap
                 # were ignored by the visibility trace -> escalate likewise.
                 mcd = float(metrics.get("mesh_cull_dropped", 0))
@@ -738,6 +748,33 @@ class Trainer:
     MAX_PAIR_CAPACITY = 1 << 23
     OVERFLOW_CHECK_EVERY = 10
     MAX_MESH_CULL_CAP = 1 << 11  # 2048 clusters = 131k tris per block
+
+    MAX_TRACER_PAIR_CAPACITY = 1 << 22
+
+    def _escalate_tracer_capacity(self, overflow: float, iteration: int):
+        """Double the splat tracer's pair + cluster-pair budgets until the
+        traced indirect/visibility fit (bounded), then retrace."""
+        import dataclasses as _dc
+
+        cfg = self.tracer_cfg
+        if cfg.pair_capacity >= self.MAX_TRACER_PAIR_CAPACITY:
+            print(
+                f"[warn] it={iteration}: tracer overflow {int(overflow)} but "
+                f"pair_capacity already at MAX ({cfg.pair_capacity})"
+            )
+            return
+        print(
+            f"[warn] it={iteration}: tracer overflow {int(overflow)}; "
+            f"pair_capacity {cfg.pair_capacity} -> {cfg.pair_capacity * 2}, "
+            f"cluster_pair_capacity {cfg.cluster_pair_capacity} -> "
+            f"{cfg.cluster_pair_capacity * 2} (retracing)"
+        )
+        self.tracer_cfg = _dc.replace(
+            cfg,
+            pair_capacity=cfg.pair_capacity * 2,
+            cluster_pair_capacity=cfg.cluster_pair_capacity * 2,
+        )
+        self._steps.clear()
 
     def _escalate_mesh_cull_cap(self, dropped: float, iteration: int):
         """Double the mesh tracer's per-block cluster budget and retrace
