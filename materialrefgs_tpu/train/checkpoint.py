@@ -43,9 +43,22 @@ def load_checkpoint(template_state, path: str, iteration: int | None = None):
     Returns (state, iteration)."""
     import orbax.checkpoint as ocp
 
+    meta = {}
+    meta_path = os.path.join(path, "chkpnt_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
     if iteration is None:
-        with open(os.path.join(path, "chkpnt_meta.json")) as f:
-            iteration = json.load(f)["iteration"]
+        iteration = meta["iteration"]
+    # Structural self-check: orbax raises an opaque pytree mismatch if the
+    # template lacks env_gs a post-indirect checkpoint recorded (the meta
+    # flag exists exactly for this — callers must _init_env_gs first).
+    if meta.get("has_env_gs") and template_state.env_gs is None:
+        raise ValueError(
+            "checkpoint was saved with env gaussians (has_env_gs=true) but "
+            "template_state.env_gs is None — initialize the env-GS branch "
+            "(Trainer._init_env_gs) before restoring"
+        )
     ckpt_dir = os.path.abspath(os.path.join(path, f"chkpnt{iteration}"))
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(

@@ -347,7 +347,10 @@ def make_train_step(
 
         # Mask entropy after the volume stage (train_refnerf.py:1211-1220).
         if stage in ("surfel", "surfel2") and "image_mask" in extra:
-            o = jnp.clip(pkg["rend_alpha"], 1e-6, 1 - 1e-6)
+            # rend_alpha is (H, W, 1); drop the channel so the (H, W) mask
+            # broadcasts elementwise (an (H,W)x(H,W,1) product outer-products
+            # rows: garbage loss on square images, trace error otherwise).
+            o = jnp.clip(pkg["rend_alpha"][..., 0], 1e-6, 1 - 1e-6)
             msk = extra["image_mask"]
             ent = -jnp.mean(msk * jnp.log(o) + (1 - msk) * jnp.log(1 - o))
             loss = loss + 0.01 * ent
@@ -518,6 +521,10 @@ class Trainer:
         )
         self.nearest_ids = nearest_ids
         self.with_warp = with_warp and nearest_ids is not None
+        if tracer_cfg is None:
+            from materialrefgs_tpu.ops.tracer.api import TracerConfig
+
+            tracer_cfg = TracerConfig()
         self.tracer_cfg = tracer_cfg
         self.cameras_extent = cameras_extent
         self.bg = jnp.asarray(bg_color, jnp.float32)
@@ -822,6 +829,25 @@ class Trainer:
         """Densification + reset block (train_refnerf.py:1414-1462)."""
         opt = self.opt
         st = self.state
+
+        # Environment-gaussian densification runs on ITS OWN schedule
+        # (update_env_gs_, env_gaussian_model3.py:482-512: every 500 until
+        # 30000) — independent of the main model's densify_until_iter, so
+        # it must precede the early return below (refreal: densify_until
+        # 20000 < 30000).
+        if (
+            st.env_gs is not None
+            and iteration < 30000
+            and iteration % 500 == 0
+        ):
+            self.key, sub = jax.random.split(self.key)
+            env_gs, env_opt = self._env_densify(st.env_gs, st.env_gs_opt_state, sub)
+            if iteration % 6000 == 0:
+                env_gs = gm.reset_opacity0(env_gs)
+                env_opt = gm.zero_adam_param(env_opt, "opacity")
+            st = st.replace(env_gs=env_gs, env_gs_opt_state=env_opt)
+            self.state = st
+
         if iteration >= opt.densify_until_iter or iteration == opt.volume_render_until_iter:
             return
         if iteration <= opt.init_until_iter:
@@ -830,7 +856,7 @@ class Trainer:
             dens_interval = opt.densification_interval_when_prop
         else:
             dens_interval = 100
-        opacity_reset_interval = 3000
+        opacity_reset_interval = opt.opacity_reset_interval
 
         if iteration > opt.densify_from_iter and iteration % dens_interval == 0:
             self.key, sub = jax.random.split(self.key)
@@ -864,21 +890,6 @@ class Trainer:
         in_prop = opt.init_until_iter < iteration <= opt.normal_prop_until_iter
         if opt.opac_lr0_interval > 0 and in_prop and iteration % opt.opac_lr0_interval == 0:
             st = st.replace(opacity_lr_scale=jnp.float32(1.0))
-        # Environment-gaussian densification (update_env_gs_,
-        # env_gaussian_model3.py:482-512: interval 500, grad thr 1e-4,
-        # opacity reset every 6000, frozen past 30000).
-        if (
-            st.env_gs is not None
-            and iteration < 30000
-            and iteration % 500 == 0
-        ):
-            self.key, sub = jax.random.split(self.key)
-            env_gs, env_opt = self._env_densify(st.env_gs, st.env_gs_opt_state, sub)
-            if iteration % 6000 == 0:
-                env_gs = gm.reset_opacity0(env_gs)
-                env_opt = gm.zero_adam_param(env_opt, "opacity")
-            st = st.replace(env_gs=env_gs, env_gs_opt_state=env_opt)
-
         if in_prop and iteration % opt.normal_prop_interval == 0 and not has_reset0:
             outside = self._outside_msk()
             model = gm.reset_opacity1(st.model, exclusive_msk=outside)
@@ -906,18 +917,33 @@ class Trainer:
             > self.opt.env_scope_radius**2
         )
 
-    def _render_view(self, cam_id: int, stage: str):
-        """Forward render for vis/mesh (no grads)."""
-        from materialrefgs_tpu.render.renderers import render_surfel
+    def _build_mips(self, env):
+        """Jitted mip build (eager dispatches ~dozens of one-off TPU
+        programs per env_light.py's own warning); callers looping over
+        cameras build ONCE and pass the result to _render_view."""
+        return EnvLightMips.build_jit(
+            env, n_samples=8,
+            min_roughness=self.envmap_min_roughness,
+            max_roughness=self.envmap_max_roughness,
+        )
+
+    def _render_view(self, cam_id: int, stage: str, mips=None):
+        """Forward render for vis/mesh (no grads). The volume stage shades
+        with env2 (render_volume, select_render_method); surfel paths with
+        env1."""
+        from materialrefgs_tpu.render.renderers import render_surfel, render_volume
 
         ropts = RenderOptions(
             unbiased_depth=self.pipe.unbiased_depth, raster=self.raster_cfg
         )
-        mips = EnvLightMips.build(
-            self.state.env1, n_samples=8,
-            min_roughness=self.envmap_min_roughness,
-            max_roughness=self.envmap_max_roughness,
-        )
+        if stage == "volume":
+            if mips is None:
+                mips = self._build_mips(self.state.env2)
+            return jax.jit(render_volume, static_argnames=("opts",))(
+                self.state.model, self.cameras[cam_id], self.bg, mips, ropts
+            )
+        if mips is None:
+            mips = self._build_mips(self.state.env1)
         return jax.jit(render_surfel, static_argnames=("opts",))(
             self.state.model, self.cameras[cam_id], self.bg, mips, ropts
         )
@@ -953,8 +979,9 @@ class Trainer:
         from materialrefgs_tpu.train import ref_score as rs
 
         depths, normals, dists = [], [], []
+        mips = self._build_mips(self.state.env1)
         for i in range(len(self.cameras)):
-            pkg = self._render_view(i, "surfel")
+            pkg = self._render_view(i, "surfel", mips=mips)
             depths.append(np.asarray(pkg["surf_depth"]))
             normals.append(np.asarray(pkg["rend_normal"]))
             dists.append(np.asarray(pkg["rend_distance"]))
@@ -985,8 +1012,9 @@ class Trainer:
         from materialrefgs_tpu.train import mesh_extract as me
 
         depths, alphas = [], []
+        mips = self._build_mips(self.state.env1)
         for i in range(len(self.cameras)):
-            pkg = self._render_view(i, "surfel")
+            pkg = self._render_view(i, "surfel", mips=mips)
             depths.append(np.asarray(pkg["surf_depth"]))
             alphas.append(np.asarray(pkg["rend_alpha"])[..., 0])
         # Real unbounded scenes use the contracted-space extractor

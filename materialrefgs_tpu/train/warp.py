@@ -21,9 +21,12 @@ from materialrefgs_tpu.config import OptimizationParams
 from materialrefgs_tpu.train.losses import lncc, spatial_gradient
 
 
-def grid_sample(img: jax.Array, coords: jax.Array, align_corners: bool = True):
-    """Bilinear sample. img (H, W, C); coords (..., 2) in [-1, 1] (x, y),
-    border padding. Matches torch F.grid_sample(align_corners=True)."""
+def grid_sample(img: jax.Array, coords: jax.Array, align_corners: bool = True,
+                padding_mode: str = "zeros"):
+    """Bilinear sample. img (H, W, C); coords (..., 2) in [-1, 1] (x, y).
+    Matches torch F.grid_sample(align_corners=True): default padding is
+    ZEROS — out-of-bounds samples vanish (the warp's fg_ok min-mask relies
+    on this to reject border-straddling patches like the reference)."""
     H, W = img.shape[:2]
     x, y = coords[..., 0], coords[..., 1]
     if align_corners:
@@ -32,17 +35,24 @@ def grid_sample(img: jax.Array, coords: jax.Array, align_corners: bool = True):
     else:
         fx = ((x + 1) * W - 1) / 2
         fy = ((y + 1) * H - 1) / 2
-    x0 = jnp.clip(jnp.floor(fx), 0, W - 1)
-    y0 = jnp.clip(jnp.floor(fy), 0, H - 1)
-    x1 = jnp.clip(x0 + 1, 0, W - 1)
-    y1 = jnp.clip(y0 + 1, 0, H - 1)
-    wx = jnp.clip(fx - x0, 0, 1)[..., None]
-    wy = jnp.clip(fy - y0, 0, 1)[..., None]
-    x0, x1, y0, y1 = (v.astype(jnp.int32) for v in (x0, x1, y0, y1))
-    c00 = img[y0, x0]
-    c01 = img[y0, x1]
-    c10 = img[y1, x0]
-    c11 = img[y1, x1]
+    x0f = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    wx = jnp.clip(fx - x0f, 0, 1)[..., None]
+    wy = jnp.clip(fy - y0f, 0, 1)[..., None]
+
+    def tap(yf, xf):
+        ok = (xf >= 0) & (xf < W) & (yf >= 0) & (yf < H)
+        xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
+        v = img[yi, xi]
+        if padding_mode == "zeros":
+            v = v * ok[..., None]
+        return v
+
+    c00 = tap(y0f, x0f)
+    c01 = tap(y0f, x0f + 1)
+    c10 = tap(y0f + 1, x0f)
+    c11 = tap(y0f + 1, x0f + 1)
     return (
         c00 * (1 - wx) * (1 - wy)
         + c01 * wx * (1 - wy)
@@ -55,7 +65,7 @@ def patch_offsets(h_patch_size: int):
     """(1, (2p+1)^2, 2) pixel offsets (utils/graphics_utils.py:230)."""
     r = jnp.arange(-h_patch_size, h_patch_size + 1, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(r, r, indexing="xy")
-    return jnp.stack([gx, gy], axis=-1).reshape(1, -1, 2)[..., ::-1][..., ::-1]
+    return jnp.stack([gx, gy], axis=-1).reshape(1, -1, 2)
 
 
 def patch_warp(Hmat: jax.Array, uv: jax.Array):
