@@ -30,7 +30,9 @@ def save_png(path: str, img: np.ndarray):
     arr = np.clip(np.asarray(img), 0, 1)
     if arr.ndim == 2:
         arr = arr[..., None].repeat(3, -1)
-    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+    # Round like torchvision save_image (mul(255).add_(0.5)); truncation
+    # would darken every dumped PNG by ~0.5/255 vs the reference's.
+    Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(path)
 
 
 def depth_vis(depth: np.ndarray) -> np.ndarray:
@@ -93,7 +95,10 @@ def render_set(
         pkg = run_jit(cam)
         jax.block_until_ready(pkg["render"])
         times.append(time.perf_counter() - t0)
-        gt = jnp.asarray(gt)
+        gt = jnp.clip(jnp.asarray(gt), 0.0, 1.0)
+        # Reference protocol clamps to [0,1] before every metric
+        # (eval.py:44-50); deferred specular can overshoot 1.
+        render_c = jnp.clip(pkg["render"], 0.0, 1.0)
         if (
             not cull_warned
             and "mesh_cull_dropped" in pkg
@@ -106,8 +111,8 @@ def render_set(
                 f"mesh_cull_cap"
             )
             cull_warned = True
-        psnrs.append(float(psnr(pkg["render"], gt)))
-        ssims.append(float(ssim(pkg["render"], gt)))
+        psnrs.append(float(psnr(render_c, gt)))
+        ssims.append(float(ssim(render_c, gt)))
         if gt_normals is not None:
             # GT-normal mean angular error in degrees over the foreground
             # (Glossy Synthetic eval; NeRO-style datasets ship GT normals).
@@ -127,7 +132,7 @@ def render_set(
             denom = max(float(np.sum(m)), 1.0)
             normal_maes.append(float(np.sum(ang * m) / denom))
         if lpips_fn is not None:
-            lpipses.append(float(lpips_fn(jnp.clip(pkg["render"], 0, 1), gt)))
+            lpipses.append(float(lpips_fn(render_c, gt)))
         if dump_maps:
             base = os.path.join(out_dir, name)
             save_png(f"{base}/renders/{idx:05d}.png", pkg["render"])

@@ -22,16 +22,7 @@ _CACHE = os.path.join(os.path.dirname(__file__), "_fg_lut_256.npy")
 _lut_cached: np.ndarray | None = None
 
 
-def _hammersley(n: int) -> np.ndarray:
-    u = (np.arange(n) + 0.5) / n
-    b = np.arange(n, dtype=np.uint32)
-    b = (b << np.uint32(16)) | (b >> np.uint32(16))
-    b = ((b & np.uint32(0x55555555)) << np.uint32(1)) | ((b & np.uint32(0xAAAAAAAA)) >> np.uint32(1))
-    b = ((b & np.uint32(0x33333333)) << np.uint32(2)) | ((b & np.uint32(0xCCCCCCCC)) >> np.uint32(2))
-    b = ((b & np.uint32(0x0F0F0F0F)) << np.uint32(4)) | ((b & np.uint32(0xF0F0F0F0)) >> np.uint32(4))
-    b = ((b & np.uint32(0x00FF00FF)) << np.uint32(8)) | ((b & np.uint32(0xFF00FF00)) >> np.uint32(8))
-    v = b.astype(np.float64) * 2.3283064365386963e-10
-    return np.stack([u, v], axis=-1)
+from materialrefgs_tpu.ops.cubemap import _hammersley  # shared quadrature
 
 
 def compute_fg_lut(res: int = _LUT_RES, n_samples: int = 512) -> np.ndarray:

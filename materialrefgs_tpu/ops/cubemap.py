@@ -268,11 +268,15 @@ def latlong_to_cubemap(latlong: jax.Array, res: int) -> jax.Array:
     tv = jnp.arccos(jnp.clip(v[..., 1], -1, 1)) / np.pi
     x = tu * W - 0.5
     y = tv * H - 0.5
-    x0 = jnp.clip(jnp.floor(x), 0, W - 1)
+    # Longitude WRAPS (dr.texture's default boundary): clamping would
+    # re-blend the last column into itself at the +-pi meridian, leaving
+    # a one-texel vertical seam in HDR-imported env maps.
+    x0f = jnp.floor(x)
+    x0 = jnp.mod(x0f, W)
+    x1 = jnp.mod(x0f + 1, W)
     y0 = jnp.clip(jnp.floor(y), 0, H - 1)
-    x1 = jnp.clip(x0 + 1, 0, W - 1)
     y1 = jnp.clip(y0 + 1, 0, H - 1)
-    fx = jnp.clip(x - x0, 0, 1)[..., None]
+    fx = jnp.clip(x - x0f, 0, 1)[..., None]
     fy = jnp.clip(y - y0, 0, 1)[..., None]
     x0, x1, y0, y1 = (a.astype(jnp.int32) for a in (x0, x1, y0, y1))
     out = (

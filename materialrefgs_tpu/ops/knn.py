@@ -46,12 +46,16 @@ def mean_knn_dist2(points: jax.Array, k: int = 3, window: int = 64) -> jax.Array
     offs = jnp.concatenate(
         [jnp.arange(-window, 0), jnp.arange(1, window + 1)]
     )  # (2W,)
-    idx = jnp.arange(P)[:, None] + offs[None, :]
-    idx = jnp.clip(idx, 0, P - 1)
+    raw_idx = jnp.arange(P)[:, None] + offs[None, :]
+    in_range = (raw_idx >= 0) & (raw_idx < P)
+    idx = jnp.clip(raw_idx, 0, P - 1)
     cand = pts[idx]  # (P, 2W, 3)
     d2 = jnp.sum((cand - pts[:, None, :]) ** 2, axis=-1)
-    # Self matches (clipped indices) get +inf.
-    d2 = jnp.where(idx == jnp.arange(P)[:, None], jnp.inf, d2)
+    # Out-of-range offsets (clipped to the boundary point) would duplicate
+    # one candidate across many slots and let top_k fill several of the k
+    # spots with the SAME neighbor near the sort ends; mask them instead
+    # (boundary points still have >= window in-range candidates on one side).
+    d2 = jnp.where(in_range, d2, jnp.inf)
     knn = -jax.lax.top_k(-d2, k)[0]  # k smallest
     mean_d2 = jnp.mean(jnp.where(jnp.isfinite(knn), knn, 0.0), axis=-1)
 

@@ -43,7 +43,16 @@ class NetworkGUI:
             return False
 
     def _read(self):
-        n = int.from_bytes(self.conn.recv(4), "little")
+        # TCP recv may return short; accumulate the 4-byte length prefix
+        # (a partial prefix would otherwise decode as a bogus length and
+        # surface as a JSONDecodeError the trainer's handlers don't catch).
+        hdr = b""
+        while len(hdr) < 4:
+            chunk = self.conn.recv(4 - len(hdr))
+            if not chunk:
+                raise ConnectionError("client closed")
+            hdr += chunk
+        n = int.from_bytes(hdr, "little")
         buf = b""
         while len(buf) < n:
             chunk = self.conn.recv(n - len(buf))

@@ -58,15 +58,22 @@ def rotmat_to_quat(R: jax.Array) -> jax.Array:
     m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
     m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
     tr = m00 + m11 + m22
-    # Four candidate constructions; pick the numerically best via where.
-    qw = jnp.sqrt(jnp.maximum(0.0, 1 + tr)) / 2
-    qx = jnp.sqrt(jnp.maximum(0.0, 1 + m00 - m11 - m22)) / 2
-    qy = jnp.sqrt(jnp.maximum(0.0, 1 - m00 + m11 - m22)) / 2
-    qz = jnp.sqrt(jnp.maximum(0.0, 1 - m00 - m11 + m22)) / 2
-    qx = jnp.copysign(qx, m21 - m12)
-    qy = jnp.copysign(qy, m02 - m20)
-    qz = jnp.copysign(qz, m10 - m01)
-    q = jnp.stack([qw, qx, qy, qz], axis=-1)
+    # Branchlessly build the quaternion from all four Shepperd pivots and
+    # select the largest-pivot candidate: the magnitude+copysign shortcut
+    # mis-signs components at/near 180-degree rotations where the
+    # off-diagonal differences vanish (e.g. R = pi about (1,-1,0) would
+    # reconstruct with error 2.0).
+    c_w = jnp.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    c_x = jnp.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
+    c_y = jnp.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], axis=-1)
+    c_z = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], axis=-1)
+    pivots = jnp.stack(
+        [1 + tr, 1 + m00 - m11 - m22, 1 - m00 + m11 - m22, 1 - m00 - m11 + m22],
+        axis=-1,
+    )
+    best = jnp.argmax(pivots, axis=-1)
+    cands = jnp.stack([c_w, c_x, c_y, c_z], axis=-2)  # (..., 4 pivots, 4)
+    q = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
     return normalize(q, axis=-1)
 
 
