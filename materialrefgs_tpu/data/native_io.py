@@ -93,7 +93,10 @@ def read_images(path: str):
     camid = _take(lib, cid, n, ctypes.c_int32, np.int32)
     raw = ctypes.string_at(names, nlen.value)
     lib.fastio_free(names)
-    name_list = raw.decode("utf-8").split("\0")[:n]
+    try:
+        name_list = raw.decode("utf-8").split("\0")[:n]
+    except UnicodeDecodeError:
+        return None  # exotic encoding: fall back to the Python parser
     return qvec, tvec, camid, name_list
 
 

@@ -134,7 +134,30 @@ def read_colmap_scene(
     if not os.path.isdir(sparse):
         sparse = os.path.join(path, "sparse")
     try:
-        extr = cl.read_extrinsics_binary(os.path.join(sparse, "images.bin"))
+        # Native fast path for images.bin (the largest COLMAP file; the
+        # pure-Python struct loop is O(seconds) on big models).
+        from materialrefgs_tpu.data import native_io
+
+        extr = None
+        img_bin = os.path.join(sparse, "images.bin")
+        if os.path.exists(img_bin):
+            fast = native_io.read_images(img_bin)
+            if fast is not None:
+                qvec, tvec, camid, names = fast
+                extr = {
+                    i: cl.Image(
+                        id=i,
+                        qvec=qvec[i],
+                        tvec=tvec[i],
+                        camera_id=int(camid[i]),
+                        name=names[i],
+                        xys=np.zeros((0, 2)),
+                        point3D_ids=np.zeros(0, np.int64),
+                    )
+                    for i in range(len(names))
+                }
+        if extr is None:
+            extr = cl.read_extrinsics_binary(img_bin)
         intr = cl.read_intrinsics_binary(os.path.join(sparse, "cameras.bin"))
     except FileNotFoundError:
         extr = cl.read_extrinsics_text(os.path.join(sparse, "images.txt"))

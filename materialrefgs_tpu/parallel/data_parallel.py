@@ -129,6 +129,7 @@ def make_dp_train_step(
         # ICI all-reduce of parameter gradients.
         grads = jax.lax.pmean(grads, axis_name="dp")
         loss = jax.lax.pmean(loss, axis_name="dp")
+        tb = jax.lax.pmean(tb, axis_name="dp")
         gp, ge1 = grads
 
         updates, opt_state = tx.update(

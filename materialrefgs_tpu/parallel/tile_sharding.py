@@ -26,6 +26,7 @@ from materialrefgs_tpu.ops.rasterize import binning
 from materialrefgs_tpu.ops.rasterize.api import (
     RasterizeConfig,
     _build_payload,
+    _permute,
     _render_pairs,
     _unpack,
 )
@@ -112,12 +113,27 @@ def _tile_local_render(
         valid=valid,
     )
 
+    # Depth sort through the _permute custom VJP: a plain gather's
+    # transpose is an XLA scatter (~70 ns/index; 10+ ms per P-sized tree
+    # in the backward) — the exact cost api.rasterize was rewritten to
+    # avoid; the sharded path must not re-introduce it.
     order = jnp.argsort(pre.depth, stable=True)
-    pre_s = jax.tree_util.tree_map(lambda a: a[order], pre)
+    inv_order = jnp.argsort(order)
+
+    def sort_by_depth(a):
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            return a[order]
+        return _permute(a, order, inv_order)
+
+    pre_s = jax.tree_util.tree_map(sort_by_depth, pre)
     bins = binning.bin_pairs(pre_s, grid_x, rows_local, config.pair_capacity)
 
     payload_g = _build_payload(
-        pre_s, opacities[order], colors[order], features[order], S
+        pre_s,
+        _permute(opacities, order, inv_order),
+        _permute(colors, order, inv_order),
+        _permute(features, order, inv_order),
+        S,
     )
     tiles_out = _render_pairs(
         S, grid_x, rows_local, camera.width, rows_local * TILE,

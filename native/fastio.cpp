@@ -61,9 +61,18 @@ int64_t fastio_read_points3d(const char* path, double** xyz_out,
   uint64_t n;
   memcpy(&n, p, 8);
   p += 8;
+  // A hostile/corrupt count would overflow malloc sizes and the per-row
+  // pointer checks (p + k > end wraps); each row is >= 51 bytes, so n is
+  // bounded by the remaining file size.
+  if (n > (uint64_t)(end - p) / 51) { set_err("bad point count"); return -1; }
   double* xyz = (double*)malloc(n * 3 * sizeof(double));
   uint8_t* rgb = (uint8_t*)malloc(n * 3);
   double* err = (double*)malloc(n * sizeof(double));
+  if ((n && !xyz) || (n && !rgb) || (n && !err)) {
+    set_err("oom");
+    free(xyz); free(rgb); free(err);
+    return -1;
+  }
   for (uint64_t i = 0; i < n; i++) {
     // point3D_id(u64) xyz(3d) rgb(3u8) error(d) track_len(u64) track(2*i32 each)
     if (p + 8 + 24 + 3 + 8 + 8 > end) { set_err("truncated point"); goto fail; }
@@ -77,7 +86,7 @@ int64_t fastio_read_points3d(const char* path, double** xyz_out,
     uint64_t tl;
     memcpy(&tl, p, 8);
     p += 8;
-    if (p + tl * 8 > end) { set_err("truncated track"); goto fail; }
+    if (tl > (uint64_t)(end - p) / 8) { set_err("truncated track"); goto fail; }
     p += tl * 8;
   }
   *xyz_out = xyz;
@@ -102,9 +111,15 @@ int64_t fastio_read_images(const char* path, double** qvec_out,
   uint64_t n;
   memcpy(&n, p, 8);
   p += 8;
+  if (n > (uint64_t)(end - p) / 64) { set_err("bad image count"); return -1; }
   double* qv = (double*)malloc(n * 4 * sizeof(double));
   double* tv = (double*)malloc(n * 3 * sizeof(double));
   int32_t* cid = (int32_t*)malloc(n * sizeof(int32_t));
+  if ((n && !qv) || (n && !tv) || (n && !cid)) {
+    set_err("oom");
+    free(qv); free(tv); free(cid);
+    return -1;
+  }
   std::string names;
   for (uint64_t i = 0; i < n; i++) {
     if (p + 4 + 32 + 24 + 4 > end) { set_err("truncated image"); goto fail; }
@@ -123,7 +138,7 @@ int64_t fastio_read_images(const char* path, double** qvec_out,
     uint64_t npts;
     memcpy(&npts, p, 8);
     p += 8;
-    if (p + npts * 24 > end) { set_err("truncated 2d points"); goto fail; }
+    if (npts > (uint64_t)(end - p) / 24) { set_err("truncated 2d points"); goto fail; }
     p += npts * 24;  // skip xys + point3D ids
   }
   {
@@ -154,11 +169,17 @@ int64_t fastio_read_cameras(const char* path, int32_t** ids_out,
   uint64_t n;
   memcpy(&n, p, 8);
   p += 8;
+  if (n > (uint64_t)(end - p) / 24) { set_err("bad camera count"); return -1; }
   int32_t* ids = (int32_t*)malloc(n * 4);
   int32_t* mid = (int32_t*)malloc(n * 4);
   int64_t* wh = (int64_t*)malloc(n * 16);
   double* prm = (double*)malloc(n * 12 * sizeof(double));
   int32_t* npar = (int32_t*)malloc(n * 4);
+  if (n && (!ids || !mid || !wh || !prm || !npar)) {
+    set_err("oom");
+    free(ids); free(mid); free(wh); free(prm); free(npar);
+    return -1;
+  }
   memset(prm, 0, n * 12 * sizeof(double));
   for (uint64_t i = 0; i < n; i++) {
     if (p + 24 > end) { set_err("truncated camera"); goto fail; }
@@ -209,6 +230,9 @@ int64_t fastio_read_ply_f32(const char* path, float** data_out,
       const char* nl = (const char*)memchr(line, '\n', end - line);
       if (!nl) { set_err("no end_header"); return -1; }
       std::string l(line, nl - line);
+      // CRLF files: property names would otherwise keep a trailing '\r'
+      // and crash the Python caller with a KeyError on "x".
+      while (!l.empty() && l.back() == '\r') l.pop_back();
       if (l.rfind("element vertex ", 0) == 0) {
         n = atoll(l.c_str() + 15);
       } else if (l.rfind("element ", 0) == 0 && n >= 0 && ncols > 0) {
@@ -218,10 +242,18 @@ int64_t fastio_read_ply_f32(const char* path, float** data_out,
         names += l.substr(15);
         names.push_back('\0');
         ncols++;
-      } else if (l.rfind("property ", 0) == 0 && l.rfind("property float", 0) != 0) {
-        set_err("non-float property");
+      } else if (l.rfind("property float32 ", 0) == 0) {
+        // Standard alias for float; MUST be counted (silently skipping a
+        // declared column misaligns every later column).
+        names += l.substr(17);
+        names.push_back('\0');
+        ncols++;
+      } else if (l.rfind("property ", 0) == 0) {
+        // Any other type (float64, uchar, lists, ...): the fixed 4-byte
+        // stride below cannot parse it — error so Python falls back.
+        set_err("non-float32 property");
         return -1;
-      } else if (l == "end_header" || l == "end_header\r") {
+      } else if (l == "end_header") {
         body = nl + 1;
         break;
       } else if (l.rfind("format ", 0) == 0 &&
@@ -233,9 +265,16 @@ int64_t fastio_read_ply_f32(const char* path, float** data_out,
     }
   }
   if (!body || n < 0 || ncols == 0) { set_err("bad header"); return -1; }
-  if (body + n * ncols * 4 > end) { set_err("truncated body"); return -1; }
-  float* data = (float*)malloc(n * ncols * 4);
-  memcpy(data, body, n * ncols * 4);
+  // Overflow-safe truncation check: n*ncols*4 can wrap for hostile counts,
+  // making `body + size > end` pass and the memcpy read OOB.
+  uint64_t avail = (uint64_t)(end - body);
+  if ((uint64_t)n > avail / 4 / (uint64_t)ncols) {
+    set_err("truncated body");
+    return -1;
+  }
+  float* data = (float*)malloc((size_t)n * ncols * 4);
+  if (!data) { set_err("oom"); return -1; }
+  memcpy(data, body, (size_t)n * ncols * 4);
   char* nb = (char*)malloc(names.size());
   memcpy(nb, names.data(), names.size());
   *data_out = data;

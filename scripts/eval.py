@@ -75,9 +75,10 @@ def main():
     # Prefer the training run's dumped config (get_combined_args semantics,
     # arguments/__init__.py:254-274) so non-default runs evaluate correctly;
     # --preset is the fallback for runs predating cfg_args.json.
+    extra_cfg = {}
     loaded = cfg.load_config(args.model_path)
     if loaded is not None:
-        model_params, pipe, opt, _extra = loaded
+        model_params, pipe, opt, extra_cfg = loaded
         print(f"Using {os.path.join(args.model_path, 'cfg_args.json')}")
     else:
         preset = {
@@ -141,9 +142,23 @@ def main():
                 write_material_mesh_ply(out, verts, faces, attrs)
                 print(f"Material mesh: {out} ({len(verts)} verts)")
 
+    # Carry the run's full pipeline settings: use_asg picks the indirect
+    # representation, depth_ratio the 2DGS depth blend, and the dumped
+    # pair_capacity prevents silent pair overflow on large trained scenes.
     opts = RenderOptions(
-        srgb=opt.srgb, unbiased_depth=pipe.unbiased_depth, raster=RasterizeConfig()
+        srgb=opt.srgb,
+        unbiased_depth=pipe.unbiased_depth,
+        use_asg=pipe.use_asg,
+        depth_ratio=pipe.depth_ratio,
+        raster=RasterizeConfig(
+            pair_capacity=int(extra_cfg.get("pair_capacity", 1 << 20))
+        ),
     )
+    # Pre-deferred checkpoints must evaluate on the path they trained with
+    # (select_render_method); render_set only needs initial-vs-deferred.
+    from materialrefgs_tpu.train.trainer import select_stage
+
+    eval_stage = "initial" if select_stage(it, opt) == "initial" else "surfel"
     bg = (1.0, 1.0, 1.0) if model_params.white_background else (0.0, 0.0, 0.0)
     out_dir = os.path.join(args.model_path, f"eval_{it}")
     if not args.skip_test and scene.test_cameras:
@@ -156,7 +171,7 @@ def main():
             print(f"GT normals found for {len(gt_normals)} test views (normal MAE on)")
         m = render_set(
             out_dir, "test", scene.test_cameras, images, model, mips, env_model,
-            opts, bg_color=bg, mesh=mesh,
+            opts, bg_color=bg, mesh=mesh, stage=eval_stage,
             gt_normals=gt_normals, gt_normal_masks=gt_nmasks,
         )
         write_metrics(out_dir, m)
@@ -165,7 +180,7 @@ def main():
         images = [scene.train_image(i) for i in range(len(scene.train_cameras))]
         m = render_set(
             out_dir, "train", scene.train_cameras, images, model, mips, env_model,
-            opts, bg_color=bg, mesh=mesh,
+            opts, bg_color=bg, mesh=mesh, stage=eval_stage,
         )
         print("train:", {k: v for k, v in m.items() if k != "per_view_psnr"})
 

@@ -257,9 +257,11 @@ def main():
             range(args.checkpoint_every, opt.iterations + 1, args.checkpoint_every)
         )
     test_every = args.test_every
-    marks = set(save_iters) | ckpt_iters | {opt.iterations}
+    test_marks = set(args.test_iterations or [])
+    marks = set(save_iters) | ckpt_iters | test_marks | {opt.iterations}
     if test_every:
-        marks |= set(range(test_every, opt.iterations + 1, test_every))
+        test_marks |= set(range(test_every, opt.iterations + 1, test_every))
+        marks |= test_marks
     # Marks beyond the run length are never reached (reference semantics);
     # without this a stray --checkpoint_iterations would extend training.
     marks = {m for m in marks if m <= opt.iterations}
@@ -305,6 +307,12 @@ def main():
         rs_iter = opt.ref_score_start_iter
         if done < rs_iter <= opt.iterations:
             marks |= {rs_iter}
+        elif done >= rs_iter:
+            # Resumed past the mining point: masks are not checkpointed, so
+            # mine now or the resumed run would silently train without the
+            # ref-score supervision an uninterrupted run has.
+            print(f"[resume] mining reflection scores (past {rs_iter}) ...")
+            trainer.mine_ref_scores()
 
     t0 = time.time()
     for target in sorted(marks):
@@ -323,7 +331,7 @@ def main():
             # the full dump below only happens at save marks).
             with open(os.path.join(args.model_path, "train_log.json"), "w") as f:
                 json.dump(trainer.metrics_log, f)
-        if test_every and target % test_every == 0 and scene.test_cameras:
+        if target in test_marks and scene.test_cameras:
             from materialrefgs_tpu.evaluate import render_set
 
             test_imgs = [scene.test_image(i) for i in range(len(scene.test_cameras))]
@@ -344,6 +352,7 @@ def main():
                 env_model=trainer.state.env_gs if stage == "surfel2" else None,
                 opts=RenderOptions(
                     unbiased_depth=pipe.unbiased_depth, srgb=opt.srgb,
+                    use_asg=pipe.use_asg, depth_ratio=pipe.depth_ratio,
                     raster=RasterizeConfig(pair_capacity=args.pair_capacity,
                                            interpret=(args.device == "cpu")),
                 ),

@@ -77,3 +77,54 @@ def test_ply_native(tmp_path, rng):
         pytest.skip("native lib unavailable")
     for k in props:
         np.testing.assert_allclose(out[k], props[k], atol=0)
+
+
+def test_ply_native_float32_alias_and_crlf(tmp_path):
+    """Regression: 'property float32' must be COUNTED (skipping a declared
+    column misaligned all later columns), and CRLF headers must not leave
+    '\\r' in property names."""
+    p = str(tmp_path / "alias.ply")
+    rows = np.arange(6, dtype=np.float32).reshape(2, 3)
+    header = (
+        b"ply\r\nformat binary_little_endian 1.0\r\n"
+        b"element vertex 2\r\n"
+        b"property float x\r\nproperty float32 y\r\nproperty float z\r\n"
+        b"end_header\r\n"
+    )
+    with open(p, "wb") as f:
+        f.write(header)
+        f.write(rows.tobytes())
+    out = native_io.read_ply_f32(p)
+    if out is None:
+        pytest.skip("native fastio unavailable")
+    assert set(out.keys()) == {"x", "y", "z"}, sorted(out.keys())
+    np.testing.assert_array_equal(out["x"], rows[:, 0])
+    np.testing.assert_array_equal(out["y"], rows[:, 1])
+    np.testing.assert_array_equal(out["z"], rows[:, 2])
+
+
+def test_ply_native_rejects_float64(tmp_path):
+    """Non-f32 property types must error (-> Python fallback), never parse
+    with the wrong stride."""
+    p = str(tmp_path / "f64.ply")
+    with open(p, "wb") as f:
+        f.write(
+            b"ply\nformat binary_little_endian 1.0\nelement vertex 1\n"
+            b"property float x\nproperty float64 y\nend_header\n"
+        )
+        f.write(np.zeros(3, np.float32).tobytes())
+    assert native_io.read_ply_f32(p) is None
+
+
+def test_points3d_hostile_track_len(tmp_path):
+    """A track_len like 2^61 must fail loudly, not wrap the bounds check."""
+    p = str(tmp_path / "hostile.bin")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<Q", 0))
+        f.write(struct.pack("<3d", 0, 0, 0))
+        f.write(struct.pack("<3B", 0, 0, 0))
+        f.write(struct.pack("<d", 0))
+        f.write(struct.pack("<Q", 1 << 61))  # hostile track_len
+    out = native_io.read_points3d(p)
+    assert out is None
