@@ -58,11 +58,20 @@ def main():
                          "the env light instead of the trained cubemap "
                          "(reference load_ply(relight=True), "
                          "gaussian_model.py:813-815)")
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform (cpu for smoke runs)")
     ap.add_argument("--export_material_mesh", action="store_true",
                     help="write fuse_post_material.ply: the extracted mesh "
                          "with per-vertex rgb/normal/diffuse/albedo/"
                          "metallic/roughness (mesh_utils.py:255)")
     args = ap.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", {"cpu": "cpu", "tpu": "axon"}[args.device]
+        )
 
     from materialrefgs_tpu import config as cfg
     from materialrefgs_tpu.evaluate import render_set, write_metrics
@@ -151,7 +160,8 @@ def main():
         use_asg=pipe.use_asg,
         depth_ratio=pipe.depth_ratio,
         raster=RasterizeConfig(
-            pair_capacity=int(extra_cfg.get("pair_capacity", 1 << 20))
+            pair_capacity=int(extra_cfg.get("pair_capacity", 1 << 20)),
+            interpret=(args.device == "cpu"),
         ),
     )
     # Pre-deferred checkpoints must evaluate on the path they trained with
