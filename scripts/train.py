@@ -111,6 +111,20 @@ def main():
                "pair_capacity": args.pair_capacity, "seed": args.seed},
     )
 
+    # Source self-backup for reproducibility (the reference copies its
+    # renderer/scene/utils trees into the run dir, train_refnerf.py:1655-1665).
+    import shutil
+
+    src_bak = os.path.join(args.model_path, "code_backup")
+    if not os.path.exists(src_bak):
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        shutil.copytree(
+            os.path.join(pkg_root, "materialrefgs_tpu"),
+            os.path.join(src_bak, "materialrefgs_tpu"),
+            ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.npy"),
+        )
+        shutil.copy2(os.path.abspath(__file__), src_bak)
+
     print(f"Loading scene from {args.source_path} ...")
     scene = Scene.load(model_params)
     n_train = len(scene.train_cameras)
