@@ -81,6 +81,12 @@ def render_set(
             from materialrefgs_tpu.render.renderers import render_initial
 
             return render_initial(model, cam, bg, opts)
+        if stage == "volume":
+            # Mid-curriculum volume checkpoints shade per-gaussian with the
+            # envmap the CALLER built (env2 for the volume stage).
+            from materialrefgs_tpu.render.renderers import render_volume
+
+            return render_volume(model, cam, bg, envmap, opts)
         if env_model is not None:
             return render_surfel2(
                 model, env_model, cam, bg, envmap, opts, tracer_cfg, mesh=mesh

@@ -26,7 +26,7 @@ import numpy as np
 
 from materialrefgs_tpu.ops.knn import _morton3d
 from materialrefgs_tpu.ops.rasterize.layout import K_CHUNK
-from materialrefgs_tpu.ops.segments import build_aligned_segments
+from materialrefgs_tpu.ops.segments import build_aligned_segments, scatter_pairs
 from materialrefgs_tpu.ops.tracer import pallas_kernels as pk
 from materialrefgs_tpu.ops.tracer.pallas_kernels import C_OUT, C_PAY, NRAY
 from materialrefgs_tpu.utils import sh as sh_utils
@@ -177,7 +177,9 @@ def trace(
     # Stage-1 truncation is as silent as jnp.nonzero's size= contract —
     # count it so the total overflow stays loud (the pairs beyond the cap
     # belong to the HIGHEST-index bundles, i.e. whole image regions).
-    cluster_overflow = jnp.maximum(
+    # Scaled by CLUSTER so the total below is in gaussian-pair units like
+    # seg.overflow (a truncated cluster pair loses up to CLUSTER gaussians).
+    cluster_overflow = CLUSTER * jnp.maximum(
         jnp.sum(ok_bc.astype(jnp.int32)) - config.cluster_pair_capacity, 0
     )
 
@@ -212,8 +214,6 @@ def trace(
     B = config.pair_capacity
     gauss_flat = gauss.reshape(-1)
     b_flat = b_of.reshape(-1)
-    from materialrefgs_tpu.ops.segments import scatter_pairs
-
     pair_gauss = scatter_pairs(
         jnp.where(okg.reshape(-1), gauss_flat, 0), seg.perm_pos, B
     )

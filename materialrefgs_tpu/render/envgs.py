@@ -100,9 +100,10 @@ def trace_visibility(
     normal_map: jax.Array,
     surf_depth: jax.Array,
     tracer_cfg: TracerConfig,
-) -> jax.Array:
-    """(H, W, 1) soft visibility of the env along reflected rays: trace the
-    main cloud, vis = 1 - acc (replaces the mesh BVH occlusion query)."""
+) -> tuple[jax.Array, jax.Array]:
+    """Returns ((H, W, 1) soft visibility, () overflow count): trace the
+    main cloud along reflected rays, vis = 1 - acc (replaces the mesh BVH
+    occlusion query). Nonzero overflow means the trace truncated pairs."""
     H, W = camera.height, camera.width
     rays_cam, rays_o = shading.camera_rays_world(camera, unnormalized=True)
     inter = rays_o[None, None, :] + surf_depth[..., None] * rays_cam

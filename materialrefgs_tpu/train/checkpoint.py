@@ -49,11 +49,22 @@ def load_checkpoint(template_state, path: str, iteration: int | None = None):
         with open(meta_path) as f:
             meta = json.load(f)
     if iteration is None:
+        if "iteration" not in meta:
+            raise FileNotFoundError(
+                f"no chkpnt_meta.json with an iteration at {path}; pass "
+                f"iteration= explicitly"
+            )
         iteration = meta["iteration"]
     # Structural self-check: orbax raises an opaque pytree mismatch if the
-    # template lacks env_gs a post-indirect checkpoint recorded (the meta
-    # flag exists exactly for this — callers must _init_env_gs first).
-    if meta.get("has_env_gs") and template_state.env_gs is None:
+    # template lacks env_gs a post-indirect checkpoint recorded. The meta
+    # file describes only the LAST save, so the guard applies only when
+    # restoring that same iteration (an explicit earlier checkpoint may
+    # legitimately predate env-GS init).
+    if (
+        meta.get("has_env_gs")
+        and meta.get("iteration") == iteration
+        and template_state.env_gs is None
+    ):
         raise ValueError(
             "checkpoint was saved with env gaussians (has_env_gs=true) but "
             "template_state.env_gs is None — initialize the env-GS branch "

@@ -770,16 +770,25 @@ class Trainer:
                 f"pair_capacity already at MAX ({cfg.pair_capacity})"
             )
             return
+        # Size the jump to the reported deficit (like the rasterizer path):
+        # each retrace recompiles the whole step, so one sized escalation
+        # beats several doublings on truncated supervision.
+        factor = 2
+        while (
+            cfg.pair_capacity * factor < cfg.pair_capacity + int(overflow)
+            and cfg.pair_capacity * factor < self.MAX_TRACER_PAIR_CAPACITY
+        ):
+            factor *= 2
+        new_pc = min(cfg.pair_capacity * factor, self.MAX_TRACER_PAIR_CAPACITY)
+        new_cpc = cfg.cluster_pair_capacity * (new_pc // cfg.pair_capacity)
         print(
             f"[warn] it={iteration}: tracer overflow {int(overflow)}; "
-            f"pair_capacity {cfg.pair_capacity} -> {cfg.pair_capacity * 2}, "
+            f"pair_capacity {cfg.pair_capacity} -> {new_pc}, "
             f"cluster_pair_capacity {cfg.cluster_pair_capacity} -> "
-            f"{cfg.cluster_pair_capacity * 2} (retracing)"
+            f"{new_cpc} (retracing)"
         )
         self.tracer_cfg = _dc.replace(
-            cfg,
-            pair_capacity=cfg.pair_capacity * 2,
-            cluster_pair_capacity=cfg.cluster_pair_capacity * 2,
+            cfg, pair_capacity=new_pc, cluster_pair_capacity=new_cpc
         )
         self._steps.clear()
 

@@ -164,11 +164,19 @@ def main():
             interpret=(args.device == "cpu"),
         ),
     )
-    # Pre-deferred checkpoints must evaluate on the path they trained with
-    # (select_render_method); render_set only needs initial-vs-deferred.
+    # Mid-curriculum checkpoints must evaluate on the path they trained
+    # with (select_render_method): initial / volume (env2) / deferred.
     from materialrefgs_tpu.train.trainer import select_stage
 
-    eval_stage = "initial" if select_stage(it, opt) == "initial" else "surfel"
+    eval_stage = select_stage(it, opt)
+    if eval_stage not in ("initial", "volume"):
+        eval_stage = "surfel"
+    if eval_stage == "volume" and env2 is not None:
+        mips = EnvLightMips.build_jit(
+            env2,
+            min_roughness=model_params.envmap_min_roughness,
+            max_roughness=model_params.envmap_max_roughness,
+        )
     bg = (1.0, 1.0, 1.0) if model_params.white_background else (0.0, 0.0, 0.0)
     out_dir = os.path.join(args.model_path, f"eval_{it}")
     if not args.skip_test and scene.test_cameras:
