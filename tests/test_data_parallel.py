@@ -159,3 +159,46 @@ def test_dp_tp_grads_match_per_camera_mean(rng):
         assert np.all(np.isfinite(a)), n
         s = max(np.abs(b).max(), 1e-3)
         np.testing.assert_allclose(a, b, atol=3e-3 * s + 1e-5, err_msg=n)
+
+
+def test_dp_densify_stats_sum_per_view_norms(rng):
+    """DP stats must accumulate like n sequential single-chip iterations:
+    sum of per-view grad norms (norm-of-the-mean cancels opposing screen
+    gradients and under-fires densification)."""
+    opt = OptimizationParams()
+    cams = [_cam(i, 2) for i in range(2)]
+    gts = [jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32) for i in range(2)]
+
+    # Two sequential single-chip steps from the same init. Both states
+    # must come from the SAME rng stream position.
+    init_rng = np.random.default_rng(123)
+    state_a = _state(init_rng)
+    plain = make_train_step("surfel", opt, PipelineParams(), 3.0, CFG,
+                            envmap_n_samples=4)
+    extra = {k: v[0] for k, v in _extra(1).items()}
+    s = state_a
+    # Accumulate stats for both views WITHOUT applying the first update's
+    # param change to the second view (the DP step computes both views at
+    # the same params): run each view from the same initial state and sum.
+    accs, dens = [], []
+    for cam, gt in zip(cams, gts):
+        si = jax.tree_util.tree_map(lambda a: a.copy() if hasattr(a, "copy") else a, state_a)
+        so, _ = plain(si, cam, gt, dict(extra), cam, gt)
+        accs.append(np.asarray(so.model.xyz_gradient_accum))
+        dens.append(np.asarray(so.model.denom))
+    expect_acc = accs[0] + accs[1]
+    expect_den = dens[0] + dens[1]
+
+    state_b = _state(np.random.default_rng(123))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    dp = make_dp_production_step(mesh, "surfel", opt, PipelineParams(), 3.0,
+                                 CFG, envmap_n_samples=4)
+    sb, _ = dp(state_b, stack_cameras(cams), jnp.stack(gts), _extra(2),
+               stack_cameras(cams), jnp.stack(gts))
+    np.testing.assert_allclose(
+        np.asarray(sb.model.denom), expect_den, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sb.model.xyz_gradient_accum), expect_acc, rtol=1e-4,
+        atol=1e-7,
+    )
