@@ -44,6 +44,11 @@ class TracerConfig:
     # Mesh-tracer cluster pre-cull survivor budget per 256-ray block
     # (ops.mesh_tracer.trace cull_cap); exact while cull_dropped == 0.
     mesh_cull_cap: int = 64
+    # EXACT per-ray compositing order WITHIN each 128-pair chunk (per-ray
+    # comparator matvec; cross-chunk interleaving stays center-depth
+    # ordered). Removes most of the sorted-list ordering approximation;
+    # forward-only (eval renders) — gradients raise.
+    exact_order: bool = False
 
 
 class _Prepared(NamedTuple):
@@ -105,20 +110,28 @@ def _cone_test(p, r_obj, o_c, d_c, r0, tant, tmin):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(0, 1)
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2)
 )
-def _trace_core(tmin, interpret, payload, rays, seg_start, seg_count):
+def _trace_core(tmin, interpret, exact_order, payload, rays, seg_start, seg_count):
     return pk.trace_bundles_fwd(
-        payload, rays, seg_start, seg_count, tmin=tmin, interpret=interpret
+        payload, rays, seg_start, seg_count, tmin=tmin, interpret=interpret,
+        exact_order=exact_order,
     )
 
 
-def _trace_core_fwd(tmin, interpret, payload, rays, seg_start, seg_count):
-    out = _trace_core(tmin, interpret, payload, rays, seg_start, seg_count)
+def _trace_core_fwd(tmin, interpret, exact_order, payload, rays, seg_start, seg_count):
+    out = _trace_core(
+        tmin, interpret, exact_order, payload, rays, seg_start, seg_count
+    )
     return out, (payload, rays, seg_start, seg_count, out)
 
 
-def _trace_core_bwd(tmin, interpret, res, g):
+def _trace_core_bwd(tmin, interpret, exact_order, res, g):
+    if exact_order:
+        raise NotImplementedError(
+            "exact_order tracing is forward-only (eval renders); train with "
+            "exact_order=False"
+        )
     payload, rays, seg_start, seg_count, fwd_out = res
     seg_active = jnp.max(fwd_out[..., pk.OUT_NCONTRIB], axis=1).astype(jnp.int32)
     dpay, drays = pk.trace_bundles_bwd(
@@ -249,7 +262,8 @@ def trace(
 
     rays8 = jnp.concatenate([ro, rd, jnp.zeros((NB, NRAY, 2))], axis=-1)
     out = _trace_core(
-        config.tmin, config.interpret, payload, rays8, seg.seg_start, seg.seg_count
+        config.tmin, config.interpret, config.exact_order,
+        payload, rays8, seg.seg_start, seg.seg_count,
     )
 
     rgb = out[..., pk.OUT_RGB : pk.OUT_RGB + 3].reshape(N, 3)

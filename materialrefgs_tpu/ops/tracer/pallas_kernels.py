@@ -99,7 +99,7 @@ def _fwd_kernel(
     payload_hbm, rays_ref,
     out_ref,
     chunk_vmem, sem,
-    *, tmin: float,
+    *, tmin: float, exact_order: bool = False,
 ):
     K = K_CHUNK
     b = pl.program_id(0)
@@ -125,8 +125,35 @@ def _fwd_kernel(
         a = jnp.where(ok, g["alpha"], 0.0)
 
         lg = jnp.log1p(-a)
-        logT_incl = logT + jax.lax.dot_general(lg, m_incl, (((1,), (0,)), ((), ())), **_DOT)
-        logT_excl = logT_incl - lg
+        if exact_order:
+            # EXACT per-ray within-chunk ordering: prefix_i = sum_j lg_j
+            # over contributors j whose hit t_j precedes t_i on THIS ray
+            # (stable list-order tie-break) — a per-ray comparator matvec
+            # instead of the shared list-order triangular matmul. Slabbed
+            # over rays so the (rows, K, K) mask fits VMEM.
+            t_key = jnp.where(ok, g["t"], jnp.inf)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 1)
+            lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 2)
+            SLAB = 64
+            parts = []
+            for r0 in range(0, NRAY, SLAB):
+                tk = t_key[r0 : r0 + SLAB]
+                lgs = lg[r0 : r0 + SLAB]
+                ti = tk[:, :, None]
+                tj = tk[:, None, :]
+                mask = ((tj < ti) | ((tj == ti) & (lane_j < lane_i))).astype(
+                    jnp.float32
+                )
+                parts.append(
+                    jax.lax.dot_general(
+                        mask, lgs, (((2,), (1,)), ((0,), (0,))), **_DOT
+                    )
+                )
+            logT_excl = logT + jnp.concatenate(parts, axis=0)
+            logT_incl = logT_excl + lg
+        else:
+            logT_incl = logT + jax.lax.dot_general(lg, m_incl, (((1,), (0,)), ((), ())), **_DOT)
+            logT_excl = logT_incl - lg
         included = logT_incl >= LOG_T_STOP
         w = a * jnp.exp(logT_excl) * included.astype(jnp.float32)
 
@@ -151,7 +178,11 @@ def _fwd_kernel(
         n_contrib = jnp.maximum(
             n_contrib, jnp.max(jnp.where(w > 0, idx1, 0.0), axis=1, keepdims=True)
         )
-        logT = logT_incl[:, K - 1 : K]
+        if exact_order:
+            # Cross-chunk carry is the order-independent chunk total.
+            logT = logT + jnp.sum(lg, axis=1, keepdims=True)
+        else:
+            logT = logT_incl[:, K - 1 : K]
         return (chunk_i + 1, logT, rgb, dep, nrm, final_logT, n_contrib)
 
     def cond(carry):
@@ -178,9 +209,10 @@ def trace_bundles_fwd(
     seg_count: jax.Array,  # (NB,)
     tmin: float = 1e-3,
     interpret: bool = False,
+    exact_order: bool = False,
 ) -> jax.Array:
     NB = rays.shape[0]
-    kernel = functools.partial(_fwd_kernel, tmin=tmin)
+    kernel = functools.partial(_fwd_kernel, tmin=tmin, exact_order=exact_order)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(NB,),

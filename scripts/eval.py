@@ -80,6 +80,7 @@ def main():
     from materialrefgs_tpu.models.scene import Scene
     from materialrefgs_tpu.render.renderers import RenderOptions
     from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
+    from materialrefgs_tpu.ops.tracer.api import TracerConfig
 
     # Prefer the training run's dumped config (get_combined_args semantics,
     # arguments/__init__.py:254-274) so non-default runs evaluate correctly;
@@ -178,6 +179,14 @@ def main():
             max_roughness=model_params.envmap_max_roughness,
         )
     bg = (1.0, 1.0, 1.0) if model_params.white_background else (0.0, 0.0, 0.0)
+    # Final renders use EXACT per-ray within-chunk compositing order for the
+    # traced indirect (forward-only; +12 dB vs the training-time sorted-list
+    # approximation on dense scenes, tests/test_tracer_image_ab.py).
+    tr_cfg = TracerConfig(
+        interpret=(args.device == "cpu"),
+        exact_order=True,
+        pair_capacity=int(extra_cfg.get("pair_capacity", 1 << 19)),
+    )
     out_dir = os.path.join(args.model_path, f"eval_{it}")
     if not args.skip_test and scene.test_cameras:
         images = [scene.test_image(i) for i in range(len(scene.test_cameras))]
@@ -189,7 +198,7 @@ def main():
             print(f"GT normals found for {len(gt_normals)} test views (normal MAE on)")
         m = render_set(
             out_dir, "test", scene.test_cameras, images, model, mips, env_model,
-            opts, bg_color=bg, mesh=mesh, stage=eval_stage,
+            opts, tracer_cfg=tr_cfg, bg_color=bg, mesh=mesh, stage=eval_stage,
             gt_normals=gt_normals, gt_normal_masks=gt_nmasks,
         )
         write_metrics(out_dir, m)
@@ -198,7 +207,7 @@ def main():
         images = [scene.train_image(i) for i in range(len(scene.train_cameras))]
         m = render_set(
             out_dir, "train", scene.train_cameras, images, model, mips, env_model,
-            opts, bg_color=bg, mesh=mesh, stage=eval_stage,
+            opts, tracer_cfg=tr_cfg, bg_color=bg, mesh=mesh, stage=eval_stage,
         )
         print("train:", {k: v for k, v in m.items() if k != "per_view_psnr"})
 

@@ -94,3 +94,51 @@ def test_image_level_ab():
 
     acc_err = float(np.mean(np.abs(np.asarray(out["acc"]).reshape(-1) - np.asarray(ref["acc"]).reshape(-1))))
     assert acc_err < 1e-3, acc_err
+
+
+def test_exact_order_matches_reference_single_chunk():
+    """With <=128 pairs per bundle (one chunk), exact_order compositing IS
+    the exact per-ray order: the tracer must match the exact-order jnp
+    reference to float tolerance — no ordering approximation left."""
+    rng = np.random.default_rng(3)
+    means, scales, rots, opac, colors, shs = _shell_scene(rng, P=96)
+    ro, rd = _reflected_rays(rng, side=16)  # 1 bundle of 256 rays
+    cfg = TracerConfig(
+        pair_capacity=1 << 12, cluster_pair_capacity=1 << 8,
+        interpret=True, exact_order=True,
+    )
+    out = trace(ro, rd, means, scales, rots, opac, colors if False else shs, cfg)
+    ref = trace_reference(ro, rd, means, scales, rots, opac, colors)
+    assert float(out["overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["acc"]).reshape(-1),
+        np.asarray(ref["acc"]).reshape(-1), atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]).reshape(-1),
+        np.asarray(ref["depth"]).reshape(-1), atol=5e-4,
+    )
+
+
+def test_exact_order_improves_dense_shell_ab():
+    """On the dense tilted shell, exact_order must strictly beat the
+    approximate sorted-list compositing vs the exact reference."""
+    rng = np.random.default_rng(7)
+    means, scales, rots, opac, colors, shs = _shell_scene(rng)
+    ro, rd = _reflected_rays(rng)
+    ref = trace_reference(ro, rd, means, scales, rots, opac, colors)
+
+    def psnr_of(cfg):
+        out = trace(ro, rd, means, scales, rots, opac, shs, cfg)
+        a, b = np.asarray(out["rgb"]), np.asarray(ref["rgb"])
+        mse = float(np.mean((a - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    import dataclasses
+
+    approx = psnr_of(CFG)
+    exact = psnr_of(dataclasses.replace(CFG, exact_order=True))
+    assert exact > approx + 3.0, (approx, exact)
