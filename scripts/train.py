@@ -370,7 +370,9 @@ def main():
                     raster=RasterizeConfig(pair_capacity=args.pair_capacity,
                                            interpret=(args.device == "cpu")),
                 ),
-                tracer_cfg=trainer.tracer_cfg,
+                tracer_cfg=dataclasses.replace(
+                    trainer.tracer_cfg, exact_order=True
+                ),
                 dump_maps=False,
                 bg_color=bg,
                 stage="initial" if stage == "initial" else "surfel",
