@@ -275,7 +275,9 @@ def rasterize(
     colors_s = _permute(colors, order, inv_order)
     feats_s = _permute(features, order, inv_order)
 
-    bins = binning.bin_pairs(pre_s, grid_x, grid_y, config.pair_capacity)
+    bins = binning.bin_pairs(
+        pre_s, grid_x, grid_y, config.pair_capacity, opacities=opac_s
+    )
 
     payload_g = _build_payload(pre_s, opac_s, colors_s, feats_s, S)  # (C, P)
     tiles_out = _render_pairs(

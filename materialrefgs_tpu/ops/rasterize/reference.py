@@ -72,6 +72,29 @@ def _per_gaussian_pixel_terms(pre: PreprocessOut, opacities, H, W):
     )
     covered = covered & pre.valid[:, None, None]
 
+    # Mirror the production binning's tight per-tile culling
+    # (binning.tile_keep_mask): culled (gaussian, tile) pairs can never pass
+    # the alpha test, so every composited output is unchanged — but they no
+    # longer occupy a slot in the tile list, which shifts the 1-based
+    # n_contrib/median_contrib indices. Apply the same mask here so the
+    # contributor bookkeeping matches the Pallas path bit-for-bit.
+    from materialrefgs_tpu.ops.rasterize import binning
+
+    mask0, mask1, use_mask, _ = binning.tile_keep_mask(pre, opacities)
+    rmx = pre.rect_min[:, 0][:, None, None]
+    rmy = pre.rect_min[:, 1][:, None, None]
+    rw = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)[:, None, None]
+    local = (ty - rmy) * rw + (tx - rmx)
+    loc_c = jnp.clip(local, 0, binning.MASK_W * binning.MASK_W - 1)
+    lo = 25
+    bit = jnp.where(
+        loc_c < lo,
+        (mask0[:, None, None] >> jnp.minimum(loc_c, lo - 1)) & 1,
+        (mask1[:, None, None] >> jnp.clip(loc_c - lo, 0, 31)) & 1,
+    )
+    keep = jnp.where(use_mask[:, None, None], bit == 1, True)
+    covered = covered & keep
+
     ok = (
         pz_ok
         & (depth_px >= NEAR_N)

@@ -126,11 +126,14 @@ def _tile_local_render(
         return _permute(a, order, inv_order)
 
     pre_s = jax.tree_util.tree_map(sort_by_depth, pre)
-    bins = binning.bin_pairs(pre_s, grid_x, rows_local, config.pair_capacity)
+    opac_s = _permute(opacities, order, inv_order)
+    bins = binning.bin_pairs(
+        pre_s, grid_x, rows_local, config.pair_capacity, opacities=opac_s
+    )
 
     payload_g = _build_payload(
         pre_s,
-        _permute(opacities, order, inv_order),
+        opac_s,
         _permute(colors, order, inv_order),
         _permute(features, order, inv_order),
         S,

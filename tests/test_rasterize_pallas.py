@@ -101,3 +101,92 @@ def test_binning_int32_wrap_reports_loud_overflow():
     )
     bins = binning.bin_pairs(pre, grid_x=4, grid_y=4, pair_capacity=256)
     assert int(bins.overflow) > 0, int(bins.overflow)
+
+
+def test_tile_keep_mask_is_output_neutral():
+    """Tight culling exactness: every tile bit CLEARED by tile_keep_mask must
+    have max alpha < ALPHA_MIN over all its pixels — i.e. the pair could never
+    pass the kernel's per-pixel test (forward.cu:397), so dropping it changes
+    no composited output. Brute-forced against the reference per-pixel alpha
+    on scenes with anisotropic, low-opacity, and near-edge-on splats."""
+    from materialrefgs_tpu.ops.rasterize import binning
+    from materialrefgs_tpu.ops.rasterize.layout import ALPHA_MIN
+    from materialrefgs_tpu.ops.rasterize.preprocess import preprocess
+    from materialrefgs_tpu.ops.rasterize.reference import (
+        _per_gaussian_pixel_terms,
+    )
+
+    rng = np.random.default_rng(7)
+    cam = make_cam(W=64, H=48)
+    P = 160
+    means = rng.normal(size=(P, 3)).astype(np.float32) * 0.7
+    # Strongly anisotropic scales plus a batch of near-degenerate ones.
+    scales = np.exp(rng.normal(size=(P, 2)).astype(np.float32) * 1.2 - 1.8)
+    scales[:32, 0] *= 20.0  # extreme aspect ratios
+    rots = rng.normal(size=(P, 4)).astype(np.float32)
+    opac = rng.uniform(0.01, 0.99, size=(P,)).astype(np.float32)
+
+    pre = preprocess(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rots), cam, 1.0
+    )
+    mask0, mask1, use_mask, tiles_kept = binning.tile_keep_mask(
+        pre, jnp.asarray(opac)
+    )
+    # Per-pixel alpha WITHOUT any keep-mask coverage: recompute raw terms.
+    alpha_eff, _, covered = _per_gaussian_pixel_terms(
+        pre, jnp.asarray(opac), 48, 64
+    )
+    # NB: _per_gaussian_pixel_terms already applies the keep mask through
+    # `covered`; recompute the raw alpha test independently here.
+    from materialrefgs_tpu.ops.rasterize.layout import (
+        ALPHA_MAX,
+        FILTER_INV_SQUARE,
+        NEAR_N,
+    )
+
+    H, W = 48, 64
+    px = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    py = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    Tu = pre.T_rows[:, 0, :][:, None, None, :]
+    Tv = pre.T_rows[:, 1, :][:, None, None, :]
+    Tw = pre.T_rows[:, 2, :][:, None, None, :]
+    k = px[..., None] * Tw - Tu
+    l = py[..., None] * Tw - Tv
+    p = jnp.cross(k, l)
+    pz = p[..., 2]
+    pz_safe = jnp.where(pz != 0, pz, 1.0)
+    s = p[..., :2] / pz_safe[..., None]
+    rho3d = jnp.sum(s * s, axis=-1)
+    d = pre.mean2d[:, None, None, :] - jnp.stack(
+        [jnp.broadcast_to(px, (1, H, W)), jnp.broadcast_to(py, (1, H, W))],
+        axis=-1,
+    )
+    rho2d = FILTER_INV_SQUARE * jnp.sum(d * d, axis=-1)
+    rho = jnp.minimum(jnp.where(pz != 0, rho3d, jnp.inf), rho2d)
+    alpha_raw = jnp.minimum(ALPHA_MAX, opac[:, None, None] * jnp.exp(-0.5 * rho))
+
+    m0 = np.asarray(mask0)
+    m1 = np.asarray(mask1)
+    um = np.asarray(use_mask)
+    rmin = np.asarray(pre.rect_min)
+    rmax = np.asarray(pre.rect_max)
+    a = np.asarray(alpha_raw)
+    n_culled = 0
+    for g in range(P):
+        if not um[g]:
+            continue
+        w_g = max(rmax[g, 0] - rmin[g, 0], 1)
+        for i in range((rmax[g, 0] - rmin[g, 0]) * (rmax[g, 1] - rmin[g, 1])):
+            bit = (m0[g] >> i) & 1 if i < 25 else (m1[g] >> (i - 25)) & 1
+            if bit:
+                continue
+            tx = rmin[g, 0] + i % w_g
+            ty = rmin[g, 1] + i // w_g
+            blk = a[g, ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16]
+            assert blk.size == 0 or float(blk.max()) < ALPHA_MIN, (
+                f"gaussian {g} tile ({tx},{ty}) culled but max alpha "
+                f"{float(blk.max()):.5f} >= {ALPHA_MIN:.5f}"
+            )
+            n_culled += 1
+    # The scene must actually exercise the cull for the test to mean anything.
+    assert n_culled > 200, n_culled
