@@ -7,12 +7,13 @@ Morton clusters of 256; (bundle, cluster) cone culling + per-gaussian exact
 cone tests produce depth-sorted per-bundle pair lists traced by the Pallas
 kernels.
 
-Approximation vs OptiX (documented): compositing order within a bundle uses
-the gaussian center's distance along the bundle's mean axis, not each ray's
-exact hit t. For bundles of coherent reflected rays and small surfels this
-matches the exact order almost everywhere; the reference's own tracer is not
-vendored (SURVEY §1.1), so behavioral tests compare against our exact-order
-jnp reference tracer instead.
+Compositing order: chunks stream in center-depth order; within each chunk
+TracerConfig.exact_order=True composites every ray in ITS OWN hit-t order
+(per-ray comparator matmuls in the kernels, fwd AND bwd — the production
+training path), while exact_order=False shares the bundle's list order
+(faster approximation; fine for visibility-style traces). Color is per-ray
+SH in both modes. The reference's own tracer is not vendored (SURVEY §1.1),
+so behavioral tests compare against our exact-order jnp reference tracer.
 """
 from __future__ import annotations
 
@@ -28,8 +29,7 @@ from materialrefgs_tpu.ops.knn import _morton3d
 from materialrefgs_tpu.ops.rasterize.layout import K_CHUNK
 from materialrefgs_tpu.ops.segments import build_aligned_segments, scatter_pairs
 from materialrefgs_tpu.ops.tracer import pallas_kernels as pk
-from materialrefgs_tpu.ops.tracer.pallas_kernels import C_OUT, C_PAY, NRAY
-from materialrefgs_tpu.utils import sh as sh_utils
+from materialrefgs_tpu.ops.tracer.pallas_kernels import C_OUT, NRAY  # noqa: F401
 from materialrefgs_tpu.utils.transforms import quat_to_rotmat
 
 CLUSTER = 256
@@ -45,9 +45,9 @@ class TracerConfig:
     # (ops.mesh_tracer.trace cull_cap); exact while cull_dropped == 0.
     mesh_cull_cap: int = 64
     # EXACT per-ray compositing order WITHIN each 128-pair chunk (per-ray
-    # comparator matvec; cross-chunk interleaving stays center-depth
-    # ordered). Removes most of the sorted-list ordering approximation;
-    # forward-only (eval renders) — gradients raise.
+    # comparator matmuls; cross-chunk interleaving stays center-depth
+    # ordered). Supported in forward AND backward — training gradients
+    # match the eval compositing (VERDICT r2 item 2).
     exact_order: bool = False
 
 
@@ -110,33 +110,37 @@ def _cone_test(p, r_obj, o_c, d_c, r0, tant, tmin):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(0, 1, 2)
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3)
 )
-def _trace_core(tmin, interpret, exact_order, payload, rays, seg_start, seg_count):
+def _trace_core(tmin, interpret, exact_order, n_sh, payload, rays, seg_start, seg_count):
     return pk.trace_bundles_fwd(
-        payload, rays, seg_start, seg_count, tmin=tmin, interpret=interpret,
-        exact_order=exact_order,
+        payload, rays, seg_start, seg_count, n_sh=n_sh, tmin=tmin,
+        interpret=interpret, exact_order=exact_order,
     )
 
 
-def _trace_core_fwd(tmin, interpret, exact_order, payload, rays, seg_start, seg_count):
+def _trace_core_fwd(tmin, interpret, exact_order, n_sh, payload, rays, seg_start, seg_count):
     out = _trace_core(
-        tmin, interpret, exact_order, payload, rays, seg_start, seg_count
+        tmin, interpret, exact_order, n_sh, payload, rays, seg_start, seg_count
     )
     return out, (payload, rays, seg_start, seg_count, out)
 
 
-def _trace_core_bwd(tmin, interpret, exact_order, res, g):
-    if exact_order:
-        raise NotImplementedError(
-            "exact_order tracing is forward-only (eval renders); train with "
-            "exact_order=False"
-        )
+def _trace_core_bwd(tmin, interpret, exact_order, n_sh, res, g):
     payload, rays, seg_start, seg_count, fwd_out = res
-    seg_active = jnp.max(fwd_out[..., pk.OUT_NCONTRIB], axis=1).astype(jnp.int32)
+    if exact_order:
+        # The exact-order backward reconstructs per-ray prefixes from the
+        # saved total log-T, which spans every chunk the forward processed
+        # (including trailing all-excluded ones) — walk exactly that many.
+        seg_active = (
+            jnp.max(fwd_out[..., pk.OUT_NPROC], axis=1).astype(jnp.int32)
+            * K_CHUNK
+        )
+    else:
+        seg_active = jnp.max(fwd_out[..., pk.OUT_NCONTRIB], axis=1).astype(jnp.int32)
     dpay, drays = pk.trace_bundles_bwd(
         payload, rays, seg_start, seg_count, seg_active, fwd_out, g,
-        tmin=tmin, interpret=interpret,
+        n_sh=n_sh, tmin=tmin, interpret=interpret, exact_order=exact_order,
     )
     z = np.zeros(seg_start.shape, jax.dtypes.float0)
     zc = np.zeros(seg_count.shape, jax.dtypes.float0)
@@ -223,15 +227,16 @@ def trace(
         config.pair_capacity,
     )
 
-    # Per-pair payload (C_PAY, B + K).
+    # Per-pair payload (pay_rows(n_sh), B + K): geometry rows + raw SH rows
+    # (channel-major) — color is evaluated PER RAY inside the kernel at each
+    # ray's own unit direction (optix_utils.py:84-271 contract).
     B = config.pair_capacity
+    n_sh = (sh_degree + 1) ** 2
+    assert shs.shape[1] >= n_sh, (shs.shape, n_sh)
+    C_PAY = pk.pay_rows(n_sh)
     gauss_flat = gauss.reshape(-1)
-    b_flat = b_of.reshape(-1)
     pair_gauss = scatter_pairs(
         jnp.where(okg.reshape(-1), gauss_flat, 0), seg.perm_pos, B
-    )
-    pair_bundle = scatter_pairs(
-        jnp.where(okg.reshape(-1), b_flat, 0), seg.perm_pos, B
     )
     pair_valid = scatter_pairs(okg.reshape(-1), seg.perm_pos, B, fill=False)
 
@@ -241,10 +246,8 @@ def trace(
     nrm = R[:, :, 2]
 
     pg = pair_gauss
-    # Per-pair color: SH evaluated at the bundle's mean reflected direction.
-    sh_pp = shs[pg]  # (B, K_sh, 3)
-    dirs_pp = d_c[pair_bundle]
-    colors_pp = sh_utils.sh_to_rgb(sh_degree, sh_pp.transpose(0, 2, 1), dirs_pp)
+    sh_pp = shs[pg, :n_sh, :]  # (B, n_sh, 3)
+    sh_rows = sh_pp.transpose(0, 2, 1).reshape(B, 3 * n_sh)  # channel-major
 
     cols = [
         means3d[pg],
@@ -252,17 +255,22 @@ def trace(
         tv_s[pg],
         nrm[pg],
         opacities[pg][:, None],
-        colors_pp,
+        sh_rows,
     ]
-    payload = jnp.concatenate(cols, axis=-1)  # (B, 16)
-    payload = jnp.where(pair_valid[:, None], payload, 0.0).T  # (16, B)
+    payload = jnp.concatenate(cols, axis=-1)  # (B, 13 + 3*n_sh)
+    if payload.shape[1] < C_PAY:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((B, C_PAY - payload.shape[1]), payload.dtype)],
+            axis=-1,
+        )
+    payload = jnp.where(pair_valid[:, None], payload, 0.0).T  # (C_PAY, B)
     payload = jnp.concatenate(
         [payload, jnp.zeros((C_PAY, K_CHUNK), payload.dtype)], axis=1
     )
 
     rays8 = jnp.concatenate([ro, rd, jnp.zeros((NB, NRAY, 2))], axis=-1)
     out = _trace_core(
-        config.tmin, config.interpret, config.exact_order,
+        config.tmin, config.interpret, config.exact_order, n_sh,
         payload, rays8, seg.seg_start, seg.seg_count,
     )
 

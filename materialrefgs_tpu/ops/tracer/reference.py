@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from materialrefgs_tpu.utils import sh as sh_utils
 from materialrefgs_tpu.utils.transforms import quat_to_rotmat
 
 T_STOP = 1e-4
@@ -29,10 +30,27 @@ def trace_reference(
     scales: jax.Array,  # (P, 2)
     rotations: jax.Array,  # (P, 4)
     opacities: jax.Array,  # (P,)
-    colors: jax.Array,  # (P, N_rays?, 3) NO — (P, 3) per-gaussian colors
+    colors: jax.Array | None,  # (P, 3) fixed per-gaussian colors, or None
     tmin: float = 1e-3,
+    shs: jax.Array | None = None,  # (P, K_sh, 3): per-RAY SH colors instead
+    sh_degree: int = 3,
 ) -> dict:
-    """Returns per-ray rgb (N,3), acc (N,), depth (N,), normal (N,3)."""
+    """Returns per-ray rgb (N,3), acc (N,), depth (N,), normal (N,3).
+
+    With `shs` given, each (ray, gaussian) color is SH evaluated at that
+    ray's own unit direction (the production kernel's per-ray contract);
+    otherwise `colors` are fixed per gaussian."""
+    if shs is not None:
+        n_sh = (sh_degree + 1) ** 2
+        d_unit = rays_d / jnp.maximum(
+            jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12
+        )
+        # (N, P, 3): broadcast SH over rays.
+        colors = sh_utils.sh_to_rgb(
+            sh_degree,
+            shs[None, :, :n_sh, :].transpose(0, 1, 3, 2),  # (1,P,3,n_sh)
+            d_unit[:, None, :],
+        )
     R = quat_to_rotmat(rotations)
     tu = R[:, :, 0] / jnp.maximum(scales[:, 0:1], 1e-12)  # (P,3) scaled axes
     tv = R[:, :, 1] / jnp.maximum(scales[:, 1:2], 1e-12)
@@ -66,11 +84,9 @@ def trace_reference(
     included = (T_before * one_m) >= T_STOP
     w = a_s * T_before * included  # (N, P)
 
-    cols_s = jnp.take_along_axis(
-        jnp.broadcast_to(colors[None], (rays_o.shape[0],) + colors.shape),
-        order[..., None],
-        axis=1,
-    )
+    if colors.ndim == 2:  # (P,3) fixed -> broadcast over rays
+        colors = jnp.broadcast_to(colors[None], (rays_o.shape[0],) + colors.shape)
+    cols_s = jnp.take_along_axis(colors, order[..., None], axis=1)
     # Normal flipped against the ray direction.
     n_eff = jnp.where(denom[..., None] > 0, -n[None], n[None])  # (N,P,3)
     n_s = jnp.take_along_axis(n_eff, order[..., None], axis=1)

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--capacity", type=int, default=1 << 19)
     ap.add_argument("--pair_capacity", type=int, default=1 << 20)
+    ap.add_argument("--approx_tracer_order", action="store_true",
+                    help="train the env-GS tracer with the faster shared "
+                         "list-order compositing instead of per-ray exact "
+                         "order (exact is the default; eval always exact)")
     ap.add_argument("--save_iterations", type=int, nargs="+", default=None)
     ap.add_argument("--test_iterations", type=int, nargs="+", default=None)
     ap.add_argument("--metric3d_path", default=None)
@@ -249,7 +253,8 @@ def main():
         nearest_ids=scene.nearest_ids,
         with_warp=(opt.multi_view_ncc_weight > 0),
         tracer_cfg=TracerConfig(pair_capacity=args.pair_capacity,
-                                interpret=(args.device == "cpu")),
+                                interpret=(args.device == "cpu"),
+                                exact_order=not args.approx_tracer_order),
         mesh_dir=os.path.join(args.model_path, "meshes"),
         mesh_every=args.mesh_every,
         use_mesh_visibility=not args.no_mesh_visibility,

@@ -106,3 +106,131 @@ def test_tracer_gradients():
         scale = max(np.abs(b).max(), 1e-3)
         frac_bad = np.mean(np.abs(a - b) > 5e-3 * scale + 1e-4)
         assert frac_bad < 0.02, (n, frac_bad, np.abs(a - b).max(), scale)
+
+
+def make_scene_sh(rng, P=32, spread=2.0, sh_degree=3):
+    """Scene with NONZERO higher SH bands — exercises per-ray color."""
+    means = rng.uniform(-spread, spread, size=(P, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(size=(P, 2)).astype(np.float32) * 0.3 - 2.2)
+    rots = rng.normal(size=(P, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, size=(P,)).astype(np.float32)
+    n_sh = (sh_degree + 1) ** 2
+    shs = np.zeros((P, 16, 3), np.float32)
+    shs[:, 0, :] = sh_utils.rgb_to_sh(
+        rng.uniform(0.3, 0.7, size=(P, 3)).astype(np.float32)
+    )
+    # Small higher bands keep colors mostly unclamped (smooth grads).
+    shs[:, 1:n_sh, :] = 0.15 * rng.standard_normal((P, n_sh - 1, 3)).astype(
+        np.float32
+    )
+    return tuple(jnp.asarray(a) for a in (means, scales, rots, opac, shs))
+
+
+def test_tracer_per_ray_sh_forward():
+    """Per-ray SH color (deg 3, nonzero bands): tracer vs per-ray reference.
+
+    Rays within a bundle point in DIFFERENT directions, so a bundle-mean SH
+    eval would be visibly wrong; the in-kernel per-ray eval must match."""
+    rng = np.random.default_rng(11)
+    means, scales, rots, opac, shs = make_scene_sh(rng, P=64)
+    ro, rd = make_rays(rng)
+    ref = trace_reference(
+        ro, rd, means, scales, rots, opac, None, shs=shs, sh_degree=3
+    )
+    for exact in (False, True):
+        import dataclasses
+
+        out = trace(
+            ro, rd, means, scales, rots, opac, shs,
+            dataclasses.replace(CFG, exact_order=exact),
+        )
+        assert float(out["overflow"]) == 0
+        a = np.asarray(out["rgb"])
+        b = np.asarray(ref["rgb"])
+        err = np.abs(a - b).max(axis=-1)
+        frac_bad = float(np.mean(err > 2e-3))
+        assert frac_bad < 0.02, (exact, frac_bad, err.max())
+
+
+def _loss_terms(out):
+    return (
+        jnp.sum(out["rgb"] * 1.3)
+        + jnp.sum(out["depth"]) * 0.1
+        + jnp.sum(out["normal"] * 0.3)
+        + jnp.sum(out["acc"]) * 0.5
+    )
+
+
+def test_tracer_exact_order_gradients():
+    """VERDICT r2 item 2: exact_order training gradients vs trace_reference
+    autodiff — per-ray compositing order AND per-ray SH color, including
+    ray-direction gradients through the SH basis."""
+    import dataclasses
+
+    rng = np.random.default_rng(13)
+    means, scales, rots, opac, shs = make_scene_sh(rng, P=32)
+    ro, rd = make_rays(rng, n_bundles=1)
+    cfg = dataclasses.replace(CFG, exact_order=True)
+
+    def f_pallas(means, opac, shs, ro, rd):
+        return _loss_terms(trace(ro, rd, means, scales, rots, opac, shs, cfg))
+
+    def f_ref(means, opac, shs, ro, rd):
+        return _loss_terms(
+            trace_reference(
+                ro, rd, means, scales, rots, opac, None, shs=shs, sh_degree=3
+            )
+        )
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2, 3, 4))(means, opac, shs, ro, rd)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(means, opac, shs, ro, rd)
+    names = ["means", "opacity", "shs", "rays_o", "rays_d"]
+    for n, a, b in zip(names, gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), n
+        scale = max(np.abs(b).max(), 1e-3)
+        frac_bad = np.mean(np.abs(a - b) > 5e-3 * scale + 1e-4)
+        assert frac_bad < 0.02, (n, frac_bad, np.abs(a - b).max(), scale)
+
+
+def test_tracer_exact_order_gradients_multichunk():
+    """Exact-order backward across MULTIPLE chunks (suffix carries + T-stop
+    reconstruction from the saved total log-T): a dense many-splat scene so
+    per-bundle pair lists span several 128-pair chunks and rays saturate
+    (exercises the inclusion-mask re-derivation)."""
+    import dataclasses
+
+    rng = np.random.default_rng(17)
+    means, scales, rots, opac, shs = make_scene_sh(rng, P=512, spread=1.2)
+    opac = jnp.asarray(
+        rng.uniform(0.6, 0.95, size=(512,)).astype(np.float32)
+    )
+    ro, rd = make_rays(rng, n_bundles=1)
+    cfg = dataclasses.replace(CFG, exact_order=True)
+
+    def f_pallas(means, opac, shs):
+        return _loss_terms(trace(ro, rd, means, scales, rots, opac, shs, cfg))
+
+    def f_ref(means, opac, shs):
+        return _loss_terms(
+            trace_reference(
+                ro, rd, means, scales, rots, opac, None, shs=shs, sh_degree=3
+            )
+        )
+
+    out = trace(ro, rd, means, scales, rots, opac, shs, cfg)
+    assert float(out["overflow"]) == 0
+    # Workload sanity: multiple chunks and saturated rays.
+    assert float(jnp.min(out["final_T"])) < 1e-3
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2))(means, opac, shs)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(means, opac, shs)
+    for n, a, b in zip(["means", "opacity", "shs"], gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), n
+        scale = max(np.abs(b).max(), 1e-3)
+        # Cross-chunk interleaving is center-depth ordered, so a small
+        # fraction of order-swapped splats may differ from the global
+        # exact order.
+        frac_bad = np.mean(np.abs(a - b) > 1e-2 * scale + 1e-4)
+        assert frac_bad < 0.05, (n, frac_bad, np.abs(a - b).max(), scale)
