@@ -104,6 +104,9 @@ class OptimizationParams:
 
     normal_loss_start: int = 0
     dist_loss_start: int = 3000
+    # SH-degree oneup cadence (train_refnerf.py:1109-1111 hardcodes 1000;
+    # a field here so compressed schedules scale it uniformly).
+    sh_ladder_interval: int = 1000
 
     # Declarative iteration ladders (SURVEY §7.2: curriculum as schedule
     # tables, not code forks). Each is ((iter_threshold, value), ...): the
@@ -249,6 +252,68 @@ def preset_glossy() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
             mono_normal_coef=0.01,
         ),
     )
+
+
+# Schedule fields scaled by scale_schedule(). Everything iteration-valued:
+# stage boundaries, loss-start gates, densify/reset cadences, LR horizon.
+_SCHEDULE_INT_FIELDS = (
+    "iterations",
+    "position_lr_max_steps",
+    "densification_interval",
+    "opacity_reset_interval",
+    "densify_from_iter",
+    "densify_until_iter",
+    "init_until_iter",
+    "volume_render_until_iter",
+    "normal_smooth_from_iter",
+    "normal_smooth_until_iter",
+    "indirect_from_iter",
+    "feature_rest_from_iter",
+    "normal_prop_until_iter",
+    "normal_prop_interval",
+    "opac_lr0_interval",
+    "densification_interval_when_prop",
+    "normal_loss_start",
+    "dist_loss_start",
+    "sh_ladder_interval",
+    "multi_view_weight_from_iter",
+    "perceptual_loss_start_iter",
+    "rghmtl_warp_loss_start_iter",
+    "ref_score_start_iter",
+    "albedo_smoothness_start_iter",
+)
+_SCHEDULE_LADDER_FIELDS = ("normal_weight_ladder", "normal_gamma_ladder")
+
+
+def scale_schedule(opt: "OptimizationParams", factor: float) -> "OptimizationParams":
+    """Uniformly compress/stretch the training curriculum.
+
+    Multiplies every iteration-valued hyperparameter (stage boundaries, loss
+    start gates, densify/reset cadences, ladder thresholds, the position-LR
+    horizon) by `factor`, preserving the reference's stage STRUCTURE
+    (run_refnerf.sh:31-44) at a different total budget. Intervals are clamped
+    to >=1; ladder thresholds scale; weights/LRs are untouched. factor=1 is
+    the identity.
+    """
+    if factor == 1.0:
+        return opt
+    if factor <= 0:
+        raise ValueError(f"schedule scale must be positive, got {factor}")
+    updates: dict = {}
+    for name in _SCHEDULE_INT_FIELDS:
+        v = getattr(opt, name)
+        scaled = int(round(v * factor))
+        # Cadences of 0 would mean "every iteration" via `% interval`;
+        # keep any positive cadence/boundary at >=1 after scaling.
+        if v > 0:
+            scaled = max(scaled, 1)
+        updates[name] = scaled
+    for name in _SCHEDULE_LADDER_FIELDS:
+        ladder = getattr(opt, name)
+        updates[name] = tuple(
+            (int(round(thr * factor)), val) for thr, val in ladder
+        )
+    return dataclasses.replace(opt, **updates)
 
 
 # ----------------------------------------------------------- reflection CLI --

@@ -669,7 +669,10 @@ class Trainer:
                 self.state = self.state.replace(model=m, opt_state=opt_state)
 
             # SH degree ladder (train_refnerf.py:1109-1111).
-            if iteration > opt.feature_rest_from_iter and iteration % 1000 == 0:
+            if (
+                iteration > opt.feature_rest_from_iter
+                and iteration % opt.sh_ladder_interval == 0
+            ):
                 self.state = self.state.replace(model=self.state.model.oneup_sh_degree())
 
             self.key, wkey = jax.random.split(self.key)

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("-r", "--resolution", type=int, default=None,
                     help="image downscale factor (reference -r)")
     ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--schedule_scale", type=float, default=1.0,
+                    help="uniformly compress/stretch the whole curriculum "
+                         "(stage boundaries, loss gates, densify cadences, "
+                         "LR horizon) by this factor; applied before "
+                         "--iterations and explicit flags")
     ap.add_argument("--capacity", type=int, default=1 << 19)
     ap.add_argument("--pair_capacity", type=int, default=1 << 20)
     ap.add_argument("--approx_tracer_order", action="store_true",
@@ -100,6 +105,11 @@ def main():
         "glossy": cfg.preset_glossy,
     }[args.preset]
     model_params, pipe, opt = preset()
+    if args.schedule_scale != 1.0:
+        opt = cfg.scale_schedule(opt, args.schedule_scale)
+        print(f"[schedule] curriculum scaled x{args.schedule_scale}: "
+              f"iterations={opt.iterations}, indirect_from={opt.indirect_from_iter}, "
+              f"densify_until={opt.densify_until_iter}")
     model_params, pipe, opt = cfg.apply_param_flags(args, model_params, pipe, opt)
     model_params = dataclasses.replace(
         model_params, source_path=args.source_path, model_path=args.model_path
