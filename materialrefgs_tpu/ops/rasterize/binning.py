@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from materialrefgs_tpu.ops.rasterize.layout import K_CHUNK
 from materialrefgs_tpu.ops.rasterize.preprocess import PreprocessOut
@@ -103,16 +104,63 @@ def tile_keep_mask(pre: PreprocessOut, opacities: jax.Array):
     u = jnp.cross(c1, c2)  # h1 coefficients (x, y, 1)
     v = jnp.cross(c2, c0)  # h2
     g3 = jnp.cross(c0, c1)  # h3
-    # +0.05 rho margin (~2.5% alpha headroom) against f32 rounding of the
-    # huge adjugate-scaled coefficients; culls stay strictly conservative.
     opa = jax.lax.stop_gradient(opacities)
-    R = 2.0 * jnp.log(jnp.maximum(255.0 * opa, 1e-12)) + 0.05
+    R = 2.0 * jnp.log(jnp.maximum(255.0 * opa, 1e-12))
+    # Conditioning: the adjugate rows are |T|^4-scale; normalize each
+    # Gaussian's (u, v, sqrt(R)*g3) triple to O(1) before forming q. F scales
+    # by s^2 > 0 uniformly, so the sign of its box-minimum is unchanged while
+    # f32 rounding of the q products stops being dominated by the huge common
+    # scale. (float64 is unavailable on TPU without global x64.)
+    scale = jnp.sqrt(
+        jnp.sum(u * u, axis=1)
+        + jnp.sum(v * v, axis=1)
+        + jnp.maximum(R, 0.0) * jnp.sum(g3 * g3, axis=1)
+    )
+    s = 1.0 / jnp.maximum(scale, 1e-30)
+    u = u * s[:, None]
+    v = v * s[:, None]
+    g3 = g3 * s[:, None]
 
     def q(i, j):
         return u[:, i] * u[:, j] + v[:, i] * v[:, j] - R * g3[:, i] * g3[:, j]
 
     q11, q12, q22 = q(0, 0)[:, None], q(0, 1)[:, None], q(1, 1)[:, None]
     q13, q23, q33 = q(0, 2)[:, None], q(1, 2)[:, None], q(2, 2)[:, None]
+
+    # Derived rounding bound (replaces the former empirical +0.05 rho
+    # margin): the dominant f32 error in F comes from cancellation in the
+    # cross products u/v/g3 and the q dot-products. Pre-cancellation
+    # magnitudes bound it: |Delta u_i| <= 2 eps Uabs_i with Uabs the
+    # absolute-value cross product, so |Delta q_ij| <= K eps (Uabs_i Uabs_j
+    # + Vabs_i Vabs_j + R Gabs_i Gabs_j) =: qerr_ij (Uabs >= |u| absorbs the
+    # product/summation rounding too). keep3d then tests Fmin <= tol where
+    # tol evaluates the qerr polynomial at the box's largest |x|,|y| —
+    # conservative in exactly the configurations where f32 is unreliable.
+    def _abs_cross(a, b):
+        return jnp.stack(
+            [
+                jnp.abs(a[:, 1] * b[:, 2]) + jnp.abs(a[:, 2] * b[:, 1]),
+                jnp.abs(a[:, 2] * b[:, 0]) + jnp.abs(a[:, 0] * b[:, 2]),
+                jnp.abs(a[:, 0] * b[:, 1]) + jnp.abs(a[:, 1] * b[:, 0]),
+            ],
+            axis=1,
+        )
+
+    uabs = _abs_cross(c1, c2) * s[:, None]
+    vabs = _abs_cross(c2, c0) * s[:, None]
+    gabs = _abs_cross(c0, c1) * s[:, None]
+    _K_EPS = 16.0 * jnp.float32(np.finfo(np.float32).eps)
+    Rmag = jnp.abs(R)
+
+    def qerr(i, j):
+        return _K_EPS * (
+            uabs[:, i] * uabs[:, j]
+            + vabs[:, i] * vabs[:, j]
+            + Rmag * gabs[:, i] * gabs[:, j]
+        )
+
+    e11, e12, e22 = qerr(0, 0)[:, None], qerr(0, 1)[:, None], qerr(1, 1)[:, None]
+    e13, e23, e33 = qerr(0, 2)[:, None], qerr(1, 2)[:, None], qerr(2, 2)[:, None]
 
     NT = MASK_W * MASK_W
     i = jnp.arange(NT, dtype=jnp.int32)[None, :]  # (1, 49)
@@ -149,7 +197,13 @@ def tile_keep_mask(pre: PreprocessOut, opacities: jax.Array):
         jnp.minimum(F(x0, yx0), F(x1, yx1)), jnp.minimum(F(xy0, y0), F(xy1, y1))
     )
     Fmin = jnp.where(inside, jnp.minimum(Fmin, F(xc, yc)), Fmin)
-    keep3d = Fmin <= 0.0
+    xm = jnp.maximum(jnp.abs(x0), jnp.abs(x1))
+    ym = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    tol = (
+        e11 * xm * xm + 2.0 * e12 * xm * ym + e22 * ym * ym
+        + 2.0 * e13 * xm + 2.0 * e23 * ym + e33
+    )
+    keep3d = Fmin <= tol
 
     cx = pre.mean2d[:, 0:1]
     cy = pre.mean2d[:, 1:2]

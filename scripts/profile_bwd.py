@@ -76,7 +76,12 @@ def main():
         )
         order = jnp.argsort(pre.depth, stable=True)
         pre_s = jax.tree_util.tree_map(lambda a: a[order], pre)
-        bins = binning.bin_pairs(pre_s, grid_x, grid_y, cfg.pair_capacity)
+        # opacities => post-cull pair list, matching production binning
+        # (api.py / tile_sharding.py) so per-stage timings attribute the
+        # same pair count as fwd_bwd_ms.
+        bins = binning.bin_pairs(
+            pre_s, grid_x, grid_y, cfg.pair_capacity, opacities=o[order]
+        )
         return pre_s, bins, order
 
     pre_s, bins, order = jax.jit(prep)(means, scales, rots, opac)

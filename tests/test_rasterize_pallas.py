@@ -112,9 +112,6 @@ def test_tile_keep_mask_is_output_neutral():
     from materialrefgs_tpu.ops.rasterize import binning
     from materialrefgs_tpu.ops.rasterize.layout import ALPHA_MIN
     from materialrefgs_tpu.ops.rasterize.preprocess import preprocess
-    from materialrefgs_tpu.ops.rasterize.reference import (
-        _per_gaussian_pixel_terms,
-    )
 
     rng = np.random.default_rng(7)
     cam = make_cam(W=64, H=48)
@@ -132,12 +129,9 @@ def test_tile_keep_mask_is_output_neutral():
     mask0, mask1, use_mask, tiles_kept = binning.tile_keep_mask(
         pre, jnp.asarray(opac)
     )
-    # Per-pixel alpha WITHOUT any keep-mask coverage: recompute raw terms.
-    alpha_eff, _, covered = _per_gaussian_pixel_terms(
-        pre, jnp.asarray(opac), 48, 64
-    )
-    # NB: _per_gaussian_pixel_terms already applies the keep mask through
-    # `covered`; recompute the raw alpha test independently here.
+    # Per-pixel alpha WITHOUT any keep-mask coverage: recompute raw terms
+    # independently (reference._per_gaussian_pixel_terms applies the keep
+    # mask itself, so it cannot serve as the uncovered baseline here).
     from materialrefgs_tpu.ops.rasterize.layout import (
         ALPHA_MAX,
         FILTER_INV_SQUARE,
