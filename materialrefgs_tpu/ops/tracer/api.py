@@ -201,21 +201,31 @@ def trace(
     )
 
     # Stage 2: expand clusters to gaussians, exact per-gaussian cone test.
+    # Component-wise gathers: a (CP*256, 3) gather gets its minor dim padded
+    # 3 -> 128 lanes by the TPU layout (42x HBM waste — 8 GB per tensor at
+    # escalated capacities, the round-3 OOM); per-component (CP, 256) f32
+    # gathers tile cleanly, and the bundle stats only need a (CP,) gather
+    # broadcast across lanes.
     lanes = jnp.arange(CLUSTER, dtype=jnp.int32)[None, :]
     gidx_sorted = cp_c[:, None] * CLUSTER + lanes  # index into morton order
     gauss = prep.order[gidx_sorted]  # (CP, 256) original gaussian ids
     b_of = jnp.broadcast_to(cp_b[:, None], gauss.shape)
-    p_g = means3d[gauss]
-    r_g = 3.0 * jnp.max(scales, axis=-1)[gauss]
-    okg, t_proj = _cone_test(
-        p_g,
-        r_g,
-        o_c[b_of],
-        d_c[b_of],
-        r0[b_of],
-        tant[b_of],
-        config.tmin,
+    px = means3d[:, 0][gauss]
+    py = means3d[:, 1][gauss]
+    pz = means3d[:, 2][gauss]
+    r_g = (3.0 * jnp.max(scales, axis=-1))[gauss]
+    vx = px - o_c[cp_b, 0][:, None]
+    vy = py - o_c[cp_b, 1][:, None]
+    vz = pz - o_c[cp_b, 2][:, None]
+    t_proj = (
+        vx * d_c[cp_b, 0][:, None]
+        + vy * d_c[cp_b, 1][:, None]
+        + vz * d_c[cp_b, 2][:, None]
     )
+    perp2 = jnp.maximum(vx * vx + vy * vy + vz * vz - t_proj * t_proj, 0.0)
+    r0_b = r0[cp_b][:, None]
+    lim = r0_b + r_g + jnp.maximum(t_proj, 0.0) * tant[cp_b][:, None]
+    okg = (t_proj >= config.tmin - r0_b - r_g) & (perp2 <= lim * lim)
     # Mask morton-order padding lanes (duplicated last gaussian) and dupes.
     okg = okg & cp_valid[:, None] & alive[gauss] & (gidx_sorted < P)
 

@@ -166,6 +166,7 @@ def make_train_step(
     jit: bool = True,
     env_min_roughness: float = 0.08,  # ModelParams.envmap_min_roughness
     env_max_roughness: float = 0.5,  # ModelParams.envmap_max_roughness
+    detect_anomaly: bool = False,
 ):
     """Returns jitted step(state, camera, gt, extra, nearest_camera,
     nearest_gt) -> (state, metrics).
@@ -455,6 +456,27 @@ def make_train_step(
         metrics["overflow"] = aux["overflow"]
         metrics["tracer_overflow"] = aux["tracer_overflow"]
         metrics["mesh_cull_dropped"] = aux["mesh_cull_dropped"]
+        if detect_anomaly:
+            # --detect_anomaly analog (reference train_refnerf.py:1798,1832
+            # uses torch.autograd.set_detect_anomaly): count nonfinite
+            # entries per gradient leaf so the Trainer can raise a report
+            # that NAMES the offending parameter group.
+            named = {
+                "loss": loss,
+                "grad.screen_offset": goff_local,
+                "grad.env1": ge1,
+                "grad.env2": ge2,
+            }
+            if geg is not None:
+                named["grad.env_gs"] = geg
+            for path, leaf in jax.tree_util.tree_flatten_with_path(gp)[0]:
+                named["grad.param" + jax.tree_util.keystr(path)] = leaf
+            for name, tree in named.items():
+                cnt = sum(
+                    jnp.sum(~jnp.isfinite(l)).astype(jnp.int32)
+                    for l in jax.tree_util.tree_leaves(tree)
+                )
+                metrics[f"nonfinite/{name}"] = cnt
         return state, metrics
 
     if not jit:
@@ -489,14 +511,18 @@ class Trainer:
         tracer_cfg=None,
         use_mesh_visibility: bool = True,  # mesh-traced specular occlusion
         mesh_tri_capacity: int = 1 << 16,
-        mesh_resolution: int = 128,  # TSDF grid resolution
+        mesh_resolution: int = 256,  # TSDF grid res over the content crop
+        # (content_bounds crop => ~reference mesh_res=1024 voxel fidelity,
+        # train_refnerf.py:1078; traced copy decimated to mesh_tri_capacity)
         virtual_cam_trans_noise: float = 1.5,  # ModelParams.multi_view_max_dis
         virtual_cam_deg_noise: float = 30.0,  # ModelParams.multi_view_max_angle
         envmap_min_roughness: float = 0.08,
         envmap_max_roughness: float = 0.5,
+        detect_anomaly: bool = False,  # reference --detect_anomaly
     ):
         self.opt = opt
         self.pipe = pipe
+        self.detect_anomaly = detect_anomaly
         self.virtual_cam_trans_noise = virtual_cam_trans_noise
         self.virtual_cam_deg_noise = virtual_cam_deg_noise
         self.envmap_min_roughness = envmap_min_roughness
@@ -612,6 +638,7 @@ class Trainer:
                 lpips_weights=self.lpips_weights,
                 env_min_roughness=self.envmap_min_roughness,
                 env_max_roughness=self.envmap_max_roughness,
+                detect_anomaly=self.detect_anomaly,
             )
         return self._steps[key]
 
@@ -731,6 +758,22 @@ class Trainer:
             self.state, metrics = step(
                 self.state, camera, gt, extra, nearest_camera, nearest_gt, mesh
             )
+
+            if self.detect_anomaly:
+                # Debug mode: sync every step (the reference's autograd
+                # anomaly mode pays a comparable slowdown) and raise a report
+                # naming each nonfinite gradient group.
+                bad = {
+                    k.removeprefix("nonfinite/"): int(v)
+                    for k, v in metrics.items()
+                    if k.startswith("nonfinite/") and float(v) > 0
+                }
+                if bad:
+                    raise FloatingPointError(
+                        f"anomaly at iteration {iteration} (stage {stage}, "
+                        f"cam {cam_id}): nonfinite values in "
+                        + ", ".join(f"{k} ({v} entries)" for k, v in sorted(bad.items()))
+                    )
 
             # Binning overflow: pairs beyond pair_capacity are silently
             # dropped by the fixed-capacity sort, corrupting the render.
@@ -1065,6 +1108,17 @@ class Trainer:
                 verts, faces,
             )
         if self.use_mesh_visibility:
+            # Full-res PLY above is the user artifact; the per-step traced
+            # copy is decimated to the triangle budget (bounded trace cost).
+            if len(faces) > self.mesh_tri_capacity:
+                dv, df = me.decimate_vertex_clustering(
+                    verts, faces, self.mesh_tri_capacity
+                )
+                print(
+                    f"[mesh] it={iteration}: {len(faces)} tris decimated to "
+                    f"{len(df)} for visibility tracing"
+                )
+                verts, faces = dv, df
             self._build_mesh_data(verts, faces, iteration)
 
     def _build_mesh_data(self, verts, faces, iteration: int):

@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--mesh_every", type=int, default=2000,
                     help="TSDF mesh re-extraction interval past "
                          "indirect_from_iter (train_refnerf.py:1459)")
+    ap.add_argument("--detect_anomaly", action="store_true",
+                    help="debug: check loss/gradients for nonfinite values "
+                         "every step and abort with the offending parameter "
+                         "groups named (reference train_refnerf.py:1832)")
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
                     help="force the JAX platform (cpu for smoke runs; the "
                          "axon TPU plugin otherwise wins even over "
@@ -273,6 +277,7 @@ def main():
         envmap_res=model_params.envmap_max_res,
         envmap_min_roughness=model_params.envmap_min_roughness,
         envmap_max_roughness=model_params.envmap_max_roughness,
+        detect_anomaly=args.detect_anomaly,
     )
 
     os.makedirs(args.model_path, exist_ok=True)
