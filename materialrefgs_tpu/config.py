@@ -142,6 +142,14 @@ class OptimizationParams:
     use_multi_view_trim: bool = True
     multi_view_ncc_weight: float = 0.15
     multi_view_geo_weight: float = 0.03
+    # The warp-loss start gate. NB the reference's config field of this name
+    # is DEAD — its trainers gate on hardcoded literals instead
+    # (train_refnerf.py:1253 / train_glossy.py:1317: `iteration > 25000`;
+    # train_refreal.py:1211: `> 7000`). The presets set those literals here;
+    # starting warp at this raw default (the reference's unused 10000) puts
+    # it amid the pre-indirect reset cadence, where warp gradients on
+    # just-reset garbage depth maps prevent recovery (round-3 flagship
+    # collapse: 33 -> 8 PSNR within 100 iterations of warp onset).
     multi_view_weight_from_iter: int = 10000
     multi_view_patch_size: int = 3
     multi_view_sample_num: int = 102400
@@ -197,6 +205,9 @@ def preset_refnerf() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
             normal_prop_until_iter=30000,
             densify_until_iter=30000,
             lambda_normal_smooth=0.0,
+            # Reference literal `iteration > 25000` (train_refnerf.py:1253):
+            # warp only after the surfel2/indirect stage has stabilized.
+            multi_view_weight_from_iter=25000,
             ref_score_start_iter=50000,
             use_perceptual_loss=False,
             use_metallic_warp_loss=False,

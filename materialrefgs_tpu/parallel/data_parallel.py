@@ -55,6 +55,7 @@ def make_dp_production_step(
     with_mono_normal: bool = False,
     tracer_cfg=None,
     axis: str = "dp",
+    **step_kwargs,
 ):
     """Camera-batch DP over the REAL curriculum train step (the same
     trainer.make_train_step the single-chip Trainer jits: env-GS tracing in
@@ -64,28 +65,32 @@ def make_dp_production_step(
     (make_train_step(axis_name=...)).
 
     Returns step(state, cam_batch, gt_batch, extra_batch, ncam_batch,
-    ngt_batch) -> (state, metrics) where every *_batch has leading dim
-    mesh.shape[axis]. extra_batch is the trainer's `extra` dict with every
-    leaf stacked per-chip (scalars like iteration just replicated)."""
+    ngt_batch, mesh_data=None) -> (state, metrics) where every *_batch has
+    leading dim mesh.shape[axis]. extra_batch is the trainer's `extra` dict
+    with every leaf stacked per-chip (scalars like iteration just
+    replicated); mesh_data (MeshData | None) is replicated.
+    step_kwargs forward to make_train_step (lpips_weights, detect_anomaly,
+    env_{min,max}_roughness, ...)."""
     from materialrefgs_tpu.train.trainer import make_train_step
 
     step = make_train_step(
         stage, opt, pipe, spatial_lr_scale, raster_cfg, envmap_n_samples,
         with_warp=with_warp, with_mono_normal=with_mono_normal,
-        tracer_cfg=tracer_cfg, axis_name=axis, jit=False,
+        tracer_cfg=tracer_cfg, axis_name=axis, jit=False, **step_kwargs,
     )
 
-    def shard_step(state, cam_batch, gt_batch, extra_batch, ncam_batch, ngt_batch):
+    def shard_step(state, cam_batch, gt_batch, extra_batch, ncam_batch,
+                   ngt_batch, mesh_data):
         unb = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
         return step(
             state, unb(cam_batch), gt_batch[0], unb(extra_batch),
-            unb(ncam_batch), ngt_batch[0],
+            unb(ncam_batch), ngt_batch[0], mesh_data,
         )
 
     sharded = jax.shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -626,6 +626,8 @@ class Trainer:
         self.mesh_tri_capacity = mesh_tri_capacity
         self.mesh_resolution = mesh_resolution
         self.mesh = None  # ops.mesh_tracer.MeshData | None
+        self._order: list[int] = []
+        self._last_cam_id = 0
 
     def _step_fn(self, stage: str, warp_on: bool):
         key = (stage, warp_on)
@@ -657,16 +659,98 @@ class Trainer:
         tx = make_optimizer()
         self.state = st.replace(env_gs=env_gs, env_gs_opt_state=tx.init(env_gs.params))
 
+    def _pick_view(self) -> int:
+        """Next camera id from the epoch permutation (train_refnerf.py's
+        viewpoint_stack pop)."""
+        if not self._order:
+            self._order = list(self.rng.permutation(len(self.cameras)))
+        return self._order.pop()
+
+    def _build_extra(self, iteration: int, cam_id: int) -> dict:
+        opt = self.opt
+        self.key, wkey = jax.random.split(self.key)
+        extra = {
+            "iteration": jnp.float32(iteration),
+            "lambda_normal_render_depth": jnp.float32(
+                normal_loss_weight_schedule(iteration, opt)
+                if opt.lambda_normal_render_depth > 0
+                else 0.0
+            ),
+            "normal_gamma": jnp.float32(normal_gamma_schedule(iteration, opt)),
+            "warp_key": wkey,
+            "bg": self.bg,
+        }
+        if self.masks is not None:
+            extra["image_mask"] = self.masks[cam_id]
+        if self.normal_priors is not None:
+            extra["normal_prior"] = self.normal_priors[cam_id]
+        if self.ref_score_masks is not None:
+            extra["ref_score_mask"] = self.ref_score_masks[cam_id]
+        return extra
+
+    def _warp_gate(self, iteration: int, stage: str) -> bool:
+        """Whether the warp loss is active this iteration (data-independent
+        part; per-view neighbor availability is handled in _select_warp)."""
+        return (
+            self.with_warp
+            and stage in ("surfel", "surfel2")
+            and iteration > self.opt.multi_view_weight_from_iter
+        )
+
+    def _select_warp(self, iteration: int, stage: str, cam_id: int):
+        """Returns (warp_on, nearest_camera, nearest_gt, photo_weight)
+        implementing the virtual-camera branch (train_refnerf.py:454-457)."""
+        opt = self.opt
+        camera, gt = self.cameras[cam_id], self.images[cam_id]
+        warp_on = self._warp_gate(iteration, stage) and (
+            len(self.nearest_ids[cam_id]) > 0 or opt.use_virtul_cam
+        )
+        if not warp_on:
+            return False, camera, gt, 1.0
+        use_virtual = opt.use_virtul_cam and (
+            self.rng.random() < opt.virtul_cam_prob
+            or len(self.nearest_ids[cam_id]) == 0
+        )
+        if use_virtual:
+            from materialrefgs_tpu.cameras import gen_virtual_cam
+
+            nearest_camera = gen_virtual_cam(
+                camera, self.rng,
+                trans_noise=self.virtual_cam_trans_noise,
+                deg_noise=self.virtual_cam_deg_noise,
+            )
+            nearest_gt = gt
+        else:
+            nid = self.nearest_ids[cam_id][
+                self.rng.integers(len(self.nearest_ids[cam_id]))
+            ]
+            nearest_camera, nearest_gt = self.cameras[nid], self.images[nid]
+        return True, nearest_camera, nearest_gt, 0.0 if use_virtual else 1.0
+
+    def _run_step(self, iteration: int, stage: str) -> dict:
+        """One optimization step: pick view(s), build extras, invoke the
+        jitted step. Overridden by the multi-chip DPTrainer to feed one
+        camera per chip through the shard_map'd production step."""
+        cam_id = self._pick_view()
+        camera, gt = self.cameras[cam_id], self.images[cam_id]
+        extra = self._build_extra(iteration, cam_id)
+        warp_on, nearest_camera, nearest_gt, pw = self._select_warp(
+            iteration, stage, cam_id
+        )
+        if warp_on:
+            extra["warp_photo_weight"] = jnp.float32(pw)
+        step = self._step_fn(stage, warp_on)
+        mesh = self.mesh if stage == "surfel2" else None
+        self.state, metrics = step(
+            self.state, camera, gt, extra, nearest_camera, nearest_gt, mesh
+        )
+        self._last_cam_id = cam_id
+        return metrics
+
     def train(self, num_iters: int, start_iter: int = 1, log_every: int = 100):
         opt = self.opt
-        order = []
+        self._order: list[int] = []
         for iteration in range(start_iter, start_iter + num_iters):
-            if not order:
-                order = list(self.rng.permutation(len(self.cameras)))
-            cam_id = order.pop()
-            camera = self.cameras[cam_id]
-            gt = self.images[cam_id]
-
             stage = select_stage(iteration, opt)
             if stage == "surfel2" and self.state.env_gs is None:
                 self._init_env_gs()
@@ -702,62 +786,7 @@ class Trainer:
             ):
                 self.state = self.state.replace(model=self.state.model.oneup_sh_degree())
 
-            self.key, wkey = jax.random.split(self.key)
-            extra = {
-                "iteration": jnp.float32(iteration),
-                "lambda_normal_render_depth": jnp.float32(
-                    normal_loss_weight_schedule(iteration, opt)
-                    if opt.lambda_normal_render_depth > 0
-                    else 0.0
-                ),
-                "normal_gamma": jnp.float32(normal_gamma_schedule(iteration, opt)),
-                "warp_key": wkey,
-                "bg": self.bg,
-            }
-            if self.masks is not None:
-                extra["image_mask"] = self.masks[cam_id]
-            if self.normal_priors is not None:
-                extra["normal_prior"] = self.normal_priors[cam_id]
-            if self.ref_score_masks is not None:
-                extra["ref_score_mask"] = self.ref_score_masks[cam_id]
-
-            warp_on = (
-                self.with_warp
-                and stage in ("surfel", "surfel2")
-                and iteration > opt.multi_view_weight_from_iter
-                and (len(self.nearest_ids[cam_id]) > 0 or opt.use_virtul_cam)
-            )
-            if warp_on:
-                # Virtual-camera branch (train_refnerf.py:454-457): with prob
-                # virtul_cam_prob (or when no neighbor exists) warp against a
-                # noise-perturbed virtual view; only the geometric term fires.
-                use_virtual = opt.use_virtul_cam and (
-                    self.rng.random() < opt.virtul_cam_prob
-                    or len(self.nearest_ids[cam_id]) == 0
-                )
-                if use_virtual:
-                    from materialrefgs_tpu.cameras import gen_virtual_cam
-
-                    nearest_camera = gen_virtual_cam(
-                        camera, self.rng,
-                        trans_noise=self.virtual_cam_trans_noise,
-                        deg_noise=self.virtual_cam_deg_noise,
-                    )
-                    nearest_gt = gt
-                else:
-                    nid = self.nearest_ids[cam_id][
-                        self.rng.integers(len(self.nearest_ids[cam_id]))
-                    ]
-                    nearest_camera, nearest_gt = self.cameras[nid], self.images[nid]
-                extra["warp_photo_weight"] = jnp.float32(0.0 if use_virtual else 1.0)
-            else:
-                nearest_camera, nearest_gt = camera, gt
-
-            step = self._step_fn(stage, warp_on)
-            mesh = self.mesh if stage == "surfel2" else None
-            self.state, metrics = step(
-                self.state, camera, gt, extra, nearest_camera, nearest_gt, mesh
-            )
+            metrics = self._run_step(iteration, stage)
 
             if self.detect_anomaly:
                 # Debug mode: sync every step (the reference's autograd
@@ -771,7 +800,7 @@ class Trainer:
                 if bad:
                     raise FloatingPointError(
                         f"anomaly at iteration {iteration} (stage {stage}, "
-                        f"cam {cam_id}): nonfinite values in "
+                        f"cam {self._last_cam_id}): nonfinite values in "
                         + ", ".join(f"{k} ({v} entries)" for k, v in sorted(bad.items()))
                     )
 
@@ -802,7 +831,7 @@ class Trainer:
             self._densify_and_reset(iteration, stage)
 
             if self.vis_dir and iteration % self.vis_every == 0:
-                self._save_vis(iteration, cam_id, stage)
+                self._save_vis(iteration, self._last_cam_id, stage)
             if (
                 (self.mesh_dir or self.use_mesh_visibility)
                 and iteration >= self.opt.indirect_from_iter

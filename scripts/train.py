@@ -74,6 +74,11 @@ def main():
     ap.add_argument("--mesh_every", type=int, default=2000,
                     help="TSDF mesh re-extraction interval past "
                          "indirect_from_iter (train_refnerf.py:1459)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="multi-chip camera-batch data parallelism: run the "
+                         "curriculum step on a ('dp',) mesh of N devices, one "
+                         "camera per chip, gradients pmean'd over ICI (0 = "
+                         "single-chip Trainer)")
     ap.add_argument("--detect_anomaly", action="store_true",
                     help="debug: check loss/gradients for nonfinite values "
                          "every step and abort with the offending parameter "
@@ -250,7 +255,26 @@ def main():
         print(f"Initialized {len(pcd.points)} gaussians (capacity {args.capacity})")
 
     bg = (1.0, 1.0, 1.0) if model_params.white_background else (0.0, 0.0, 0.0)
-    trainer = Trainer(
+    trainer_cls = Trainer
+    trainer_kw = {}
+    if args.dp:
+        import jax
+        from jax.sharding import Mesh
+
+        from materialrefgs_tpu.parallel.dp_trainer import DPTrainer
+
+        devs = jax.devices()
+        if len(devs) < args.dp:
+            raise SystemExit(
+                f"--dp {args.dp} but only {len(devs)} devices visible "
+                "(CPU sim: XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                "+ --device cpu)"
+            )
+        trainer_cls = DPTrainer
+        trainer_kw["mesh"] = Mesh(np.array(devs[: args.dp]), ("dp",))
+        print(f"[dp] camera-batch DP over {args.dp} devices "
+              f"({devs[0].platform})")
+    trainer = trainer_cls(
         model,
         scene.train_cameras,
         images,
@@ -278,6 +302,7 @@ def main():
         envmap_min_roughness=model_params.envmap_min_roughness,
         envmap_max_roughness=model_params.envmap_max_roughness,
         detect_anomaly=args.detect_anomaly,
+        **trainer_kw,
     )
 
     os.makedirs(args.model_path, exist_ok=True)

@@ -42,6 +42,7 @@ def _tiny_trainer(rng, detect_anomaly):
     )
 
 
+@pytest.mark.core
 def test_nan_param_raises_named_report(rng):
     trainer = _tiny_trainer(rng, detect_anomaly=True)
     p = trainer.state.model.params
@@ -57,6 +58,7 @@ def test_nan_param_raises_named_report(rng):
     assert "grad.param.xyz" in str(ei.value)
 
 
+@pytest.mark.core
 def test_clean_run_passes_and_reports_zero(rng):
     trainer = _tiny_trainer(rng, detect_anomaly=True)
     trainer.train(2, log_every=1)

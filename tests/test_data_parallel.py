@@ -81,7 +81,7 @@ def test_dp_one_device_matches_plain_step(rng):
     )
     cam_b = stack_cameras([cam])
     gt_b = gt[None]
-    s2, m2 = dp(state2, cam_b, gt_b, extra_b, cam_b, gt_b)
+    s2, m2 = dp(state2, cam_b, gt_b, extra_b, cam_b, gt_b, None)
 
     np.testing.assert_allclose(
         np.asarray(s2.model.params.xyz), np.asarray(s1.model.params.xyz),
@@ -110,7 +110,7 @@ def test_dp_production_step_two_devices(rng):
     ngt_b = jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32)
     extra_b = _extra(2, it=float(opt.multi_view_weight_from_iter + 100))
 
-    state, metrics = dp(state, cam_b, gt_b, extra_b, ncam_b, ngt_b)
+    state, metrics = dp(state, cam_b, gt_b, extra_b, ncam_b, ngt_b, None)
     assert np.isfinite(float(metrics["loss"]))
     xyz1 = np.asarray(state.model.params.xyz)
     assert np.all(np.isfinite(xyz1))
@@ -194,7 +194,7 @@ def test_dp_densify_stats_sum_per_view_norms(rng):
     dp = make_dp_production_step(mesh, "surfel", opt, PipelineParams(), 3.0,
                                  CFG, envmap_n_samples=4)
     sb, _ = dp(state_b, stack_cameras(cams), jnp.stack(gts), _extra(2),
-               stack_cameras(cams), jnp.stack(gts))
+               stack_cameras(cams), jnp.stack(gts), None)
     np.testing.assert_allclose(
         np.asarray(sb.model.denom), expect_den, atol=1e-6
     )
@@ -202,3 +202,98 @@ def test_dp_densify_stats_sum_per_view_norms(rng):
         np.asarray(sb.model.xyz_gradient_accum), expect_acc, rtol=1e-4,
         atol=1e-7,
     )
+
+
+def _dp_scene(rng, n_cams=8, W=24, H=24, P=48):
+    from materialrefgs_tpu.ops.rasterize.reference import rasterize_reference
+
+    means = rng.normal(size=(P, 3)).astype(np.float32) * 0.5
+    scales = np.exp(rng.normal(size=(P, 2)).astype(np.float32) * 0.3 - 1.3)
+    rots = rng.normal(size=(P, 4)).astype(np.float32)
+    opac = rng.uniform(0.5, 0.95, size=(P,)).astype(np.float32)
+    colors = rng.uniform(size=(P, 3)).astype(np.float32)
+    feats = np.zeros((P, 1), np.float32)
+    cams, images = [], []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        eye = np.array([3.5 * np.sin(ang), 0.5, -3.5 * np.cos(ang)])
+        cam = look_at_camera(
+            eye, np.zeros(3), np.array([0.0, 1.0, 0.0]), 0.9, 0.9, W, H
+        )
+        out = rasterize_reference(
+            *(jnp.asarray(a) for a in (means, scales, rots, opac, colors, feats)),
+            camera=cam, bg_color=jnp.zeros(3),
+        )
+        cams.append(cam)
+        images.append(np.asarray(out["render"]))
+    return cams, images, means
+
+
+def _make_trainer(cls, rng_seed, cams, images, means, **kw):
+    from materialrefgs_tpu.train.trainer import Trainer  # noqa: F401
+
+    r = np.random.default_rng(rng_seed)
+    pts = means + r.normal(size=means.shape).astype(np.float32) * 0.1
+    cols = r.uniform(size=(len(pts), 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=128)
+    opt = dataclasses.replace(
+        OptimizationParams(),
+        use_perceptual_loss=False,
+        initial=1,
+        init_until_iter=10_000,
+        densify_from_iter=10,
+        densification_interval=25,
+        feature_rest_from_iter=100_000,
+        lambda_normal_render_depth=0.0,
+        lambda_dist=0.0,
+    )
+    return cls(
+        model, cams, images, opt, PipelineParams(),
+        cameras_extent=3.0,
+        raster_cfg=RasterizeConfig(pair_capacity=1 << 12, interpret=True),
+        envmap_res=16,
+        seed=3407,
+        **kw,
+    )
+
+
+@pytest.mark.slow
+def test_dp_trainer_one_device_matches_single_chip(rng):
+    """DPTrainer on a 1-device mesh reproduces the single-chip Trainer's
+    loss trajectory exactly (VERDICT r2 item 4 'Done' criterion): same rng
+    consumption, pmean over one chip is the identity, densify included."""
+    from materialrefgs_tpu.parallel.dp_trainer import DPTrainer
+    from materialrefgs_tpu.train.trainer import Trainer
+
+    cams, images, means = _dp_scene(rng)
+    t1 = _make_trainer(Trainer, 1, cams, images, means)
+    t2 = _make_trainer(
+        DPTrainer, 1, cams, images, means,
+        mesh=Mesh(np.array(jax.devices()[:1]), ("dp",)),
+    )
+    t1.train(40, log_every=1)
+    t2.train(40, log_every=1)
+    l1 = [m["loss"] for m in t1.metrics_log]
+    l2 = [m["loss"] for m in t2.metrics_log]
+    np.testing.assert_allclose(l2, l1, rtol=2e-4)
+    assert t1.metrics_log[-1]["n_alive"] == t2.metrics_log[-1]["n_alive"]
+
+
+@pytest.mark.slow
+def test_dp_trainer_eight_devices_converges(rng):
+    """8-chip CPU-sim DPTrainer: the full orchestration (densify, resets,
+    escalation polling) runs and the batched step converges."""
+    from materialrefgs_tpu.parallel.dp_trainer import DPTrainer
+
+    cams, images, means = _dp_scene(rng)
+    t = _make_trainer(
+        DPTrainer, 1, cams, images, means,
+        mesh=Mesh(np.array(jax.devices()[:8]), ("dp",)),
+    )
+    t.train(30, log_every=1)
+    log = t.metrics_log
+    first = np.mean([m["psnr"] for m in log[:5]])
+    last = np.mean([m["psnr"] for m in log[-5:]])
+    assert np.isfinite(last)
+    assert last > first + 0.5, (first, last)
+    assert log[-1]["n_alive"] >= 48

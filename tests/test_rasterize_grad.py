@@ -63,6 +63,7 @@ def loss_of(out, which):
         "all",
     ],
 )
+@pytest.mark.core
 def test_grad_parity(which):
     rng = np.random.default_rng(7)
     cam = make_cam()

@@ -33,6 +33,7 @@ def random_scene(rng, P=96):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.core
 def test_forward_matches_reference(seed):
     rng = np.random.default_rng(seed)
     cam = make_cam()
@@ -79,6 +80,7 @@ def test_nonmultiple_image_size():
     assert out["render"].shape == (29, 41, 3)
 
 
+@pytest.mark.core
 def test_binning_int32_wrap_reports_loud_overflow():
     """Pathological pair totals that wrap int32 (optimizer blow-up inflating
     scales) must report a huge positive overflow — never a negative one that
@@ -103,6 +105,7 @@ def test_binning_int32_wrap_reports_loud_overflow():
     assert int(bins.overflow) > 0, int(bins.overflow)
 
 
+@pytest.mark.core
 def test_tile_keep_mask_is_output_neutral():
     """Tight culling exactness: every tile bit CLEARED by tile_keep_mask must
     have max alpha < ALPHA_MIN over all its pixels — i.e. the pair could never

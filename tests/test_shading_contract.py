@@ -8,6 +8,7 @@ against a hand-built constant environment, independent FG-LUT sampling, and
 reference formulas (refl_utils.py:111-160, 364-401)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from materialrefgs_tpu.cameras import look_at_camera
 from materialrefgs_tpu.models.env_light import EnvLightMips, EnvLightParams
@@ -36,6 +37,7 @@ def _setup(rng, H=8, W=8):
     return cam, env, c, albedo, normal, alpha, metal, rough
 
 
+@pytest.mark.core
 def test_specular_weight_and_masking(rng):
     cam, env, c, albedo, normal, alpha, metal, rough = _setup(rng)
 

@@ -45,6 +45,7 @@ def make_rays(rng, n_bundles=2):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+@pytest.mark.core
 def test_tracer_matches_reference():
     rng = np.random.default_rng(0)
     means, scales, rots, opac, colors, shs = make_scene(rng)
