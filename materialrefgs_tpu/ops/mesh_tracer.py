@@ -398,17 +398,24 @@ def shade_one_bounce(
     surface_pos: jax.Array,  # (..., 3)
     rays_n: jax.Array,  # (..., 3) unit surface normal
     rays_v: jax.Array,  # (..., 3) unit view dir, pointing off the surface
+    cull_cap: int | None = None,
 ) -> dict:
     """One-bounce indirect light at surface points (raytracer.py:274-300
     shade + refl_utils.py:120-150): reflect the view ray, nearest-hit the
     mesh, and return the color seen along the bounce plus visibility.
 
-    Returns {indirect (..., 3), visibility (..., 1), depth (...,)}."""
+    Returns {indirect (..., 3), visibility (..., 1), depth (...,),
+    cull_dropped ()}."""
     incident = normalize(reflect(rays_v, rays_n))
-    hit = trace(mesh, surface_pos, incident)
+    hit = trace(mesh, surface_pos, incident, cull_cap=cull_cap)
     indirect = secondary_color(mesh, envmap, hit, incident)
     vis = (hit["depth"] >= T_FAR).astype(jnp.float32)[..., None]
-    return {"indirect": indirect, "visibility": vis, "depth": hit["depth"]}
+    return {
+        "indirect": indirect,
+        "visibility": vis,
+        "depth": hit["depth"],
+        "cull_dropped": hit["cull_dropped"],
+    }
 
 
 def bake_vertex_attrs(

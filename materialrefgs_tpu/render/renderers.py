@@ -40,6 +40,10 @@ class RenderOptions:
     unbiased_depth: bool = True  # PGSR flavor (arguments/config.py FLAG="pgsr")
     indirect: bool = False  # use visibility + indirect light in shading
     srgb: bool = False
+    # "origin" (EnvGS trace via render_surfel2) or "raytracing_residual"
+    # (mesh-traced one-bounce residual in render_surfel; the reference's
+    # import-time INDIRECT_TYPE switch, arguments/config.py:2).
+    indirect_type: str = "origin"
     raster: RasterizeConfig = RasterizeConfig()
 
 
@@ -161,8 +165,16 @@ def render_surfel(
     visibility: jax.Array | None = None,  # (H, W, 1) traced visibility
     traced_indirect: jax.Array | None = None,  # (H, W, 3) EnvGS indirect
     wo_render_img: bool = False,
+    mesh=None,  # ops.mesh_tracer.MeshData: raytracing_residual branch
+    mesh_cull_cap: int | None = None,
 ) -> dict:
-    """Deferred-shading render (gaussian_renderer/__init__.py:225-520)."""
+    """Deferred-shading render (gaussian_renderer/__init__.py:225-520).
+
+    With `mesh` and opts.indirect_type == "raytracing_residual", visibility
+    and indirect light come from mesh_indirect_maps — the reference's
+    INDIRECT_TYPE="raytracing_residual" compile flavor
+    (arguments/config.py:2, utils/refl_utils.py:101-190) where the mesh
+    tracer supplies a one-bounce residual instead of the EnvGS trace."""
     colors = pc.get_colors(camera.camera_center)
     refl = pc.get_refl
     rough = pc.get_rough
@@ -217,6 +229,16 @@ def render_surfel(
     # indirect light (surfel contract, refl_utils.py:364-401) or alone
     # (surfel2 flavor: masks direct light only).
     normal_map = regs["rend_normal"] / jnp.maximum(render_alpha, 1e-6)
+    use_indirect = opts.indirect
+    if mesh is not None and opts.indirect_type == "raytracing_residual":
+        maps = mesh_indirect_maps(
+            mesh, camera, normal_map, regs["surf_depth"][..., None], envmap,
+            render_alpha, cull_cap=mesh_cull_cap,
+        )
+        visibility = maps["visibility"]
+        traced_indirect = maps["indirect"]
+        results["mesh_cull_dropped"] = maps["cull_dropped"]
+        use_indirect = True  # the residual branch IS the indirect term
     specular, extra = shading.specular_color_surfel(
         envmap,
         albedo_map,
@@ -228,7 +250,7 @@ def render_surfel(
         visibility=visibility,
         indirect_light=(
             (traced_indirect if traced_indirect is not None else indirect_map)
-            if opts.indirect
+            if use_indirect
             else None
         ),
     )
@@ -356,6 +378,7 @@ def mesh_indirect_maps(
     surf_depth: jax.Array,  # (H, W, 1) unbiased surface depth
     envmap: EnvLightMips,
     render_alpha: jax.Array | None = None,  # (H, W, 1) gate for empty pixels
+    cull_cap: int | None = None,
 ) -> dict:
     """Per-pixel mesh-traced visibility + one-bounce indirect light.
 
@@ -366,8 +389,9 @@ def mesh_indirect_maps(
     and occluded pixels receive the one-bounce split-sum color
     (raytracing_brdf/raytracer.py:274-300 shade).
 
-    Returns {"visibility": (H, W, 1), "indirect": (H, W, 3)} — feed them to
-    render_surfel(visibility=..., traced_indirect=...) with opts.indirect.
+    Returns {"visibility": (H, W, 1), "indirect": (H, W, 3), "cull_dropped"}
+    — consumed by render_surfel(mesh=...) when opts.indirect_type ==
+    "raytracing_residual" (or feed visibility/traced_indirect manually).
     """
     from materialrefgs_tpu.ops import mesh_tracer as mt
 
@@ -382,6 +406,7 @@ def mesh_indirect_maps(
         jax.lax.stop_gradient(surf_points),
         jax.lax.stop_gradient(normal_map),
         jax.lax.stop_gradient(w_o),
+        cull_cap=cull_cap,
     )
     vis, indirect = out["visibility"], out["indirect"]
     if render_alpha is not None:
@@ -390,4 +415,8 @@ def mesh_indirect_maps(
         empty = render_alpha <= 0.0
         vis = jnp.where(empty, 1.0, vis)
         indirect = jnp.where(empty, 0.0, indirect)
-    return {"visibility": vis, "indirect": indirect}
+    return {
+        "visibility": vis,
+        "indirect": indirect,
+        "cull_dropped": out["cull_dropped"],
+    }

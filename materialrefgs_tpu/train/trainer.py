@@ -189,6 +189,7 @@ def make_train_step(
         unbiased_depth=pipe.unbiased_depth,
         indirect=False,
         srgb=opt.srgb,
+        indirect_type=pipe.indirect_type,
         raster=raster_cfg,
     )
     if tracer_cfg is None:
@@ -210,6 +211,14 @@ def make_train_step(
             min_roughness=env_min_roughness, max_roughness=env_max_roughness,
         )
         if stage == "surfel2":
+            if pipe.indirect_type == "raytracing_residual":
+                # INDIRECT_TYPE="raytracing_residual" flavor: no env-GS
+                # model; the indirect term is the mesh-traced one-bounce
+                # residual (utils/refl_utils.py:101-190).
+                return render_surfel(
+                    model, camera, bg, mips, ropts, offset,
+                    mesh=mesh, mesh_cull_cap=tracer_cfg.mesh_cull_cap,
+                )
             from materialrefgs_tpu.render.envgs import render_surfel2
 
             return render_surfel2(
@@ -752,13 +761,22 @@ class Trainer:
         self._order: list[int] = []
         for iteration in range(start_iter, start_iter + num_iters):
             stage = select_stage(iteration, opt)
-            if stage == "surfel2" and self.state.env_gs is None:
+            if (
+                stage == "surfel2"
+                and self.state.env_gs is None
+                and self.pipe.indirect_type == "origin"
+            ):
+                # raytracing_residual has no env-GS model (its indirect term
+                # is mesh-traced); only the origin flavor spawns one.
                 self._init_env_gs()
                 self._steps.clear()  # re-trace with env_gs present
             if (
                 stage == "surfel2"
-                and self.use_mesh_visibility
                 and self.mesh is None
+                and (
+                    self.use_mesh_visibility
+                    or self.pipe.indirect_type == "raytracing_residual"
+                )
             ):
                 # Reference extracts the mesh + builds the BVH right at the
                 # indirect transition (train_refnerf.py:1036-1046, :1459).
@@ -1136,7 +1154,10 @@ class Trainer:
                 os.path.join(self.mesh_dir, f"test_{iteration:06d}.ply"),
                 verts, faces,
             )
-        if self.use_mesh_visibility:
+        if (
+            self.use_mesh_visibility
+            or self.pipe.indirect_type == "raytracing_residual"
+        ):
             # Full-res PLY above is the user artifact; the per-step traced
             # copy is decimated to the triangle budget (bounded trace cost).
             if len(faces) > self.mesh_tri_capacity:

@@ -142,3 +142,53 @@ def test_trainer_builds_and_uses_mesh(rng):
     assert trainer.mesh.n_tris == 1 << 11  # padded to capacity
     last = trainer.metrics_log[-1]
     assert np.isfinite(last["loss"])
+
+
+def test_trainer_raytracing_residual_branch(rng):
+    """pipe.indirect_type="raytracing_residual" (the reference's alternate
+    INDIRECT_TYPE compile flavor, arguments/config.py:2 + refl_utils.py:
+    101-190): past indirect_from_iter the step renders via render_surfel
+    with mesh-traced one-bounce indirect — no env-GS model is spawned."""
+    import dataclasses as _dc
+
+    from tests.test_trainer_e2e import synthetic_scene
+    from materialrefgs_tpu.config import OptimizationParams, PipelineParams
+    from materialrefgs_tpu.train.trainer import Trainer
+
+    cams, images, gt_means = synthetic_scene(rng, n_cams=3, W=24, H=24, P=32)
+    pts = gt_means + rng.normal(size=gt_means.shape).astype(np.float32) * 0.05
+    cols = rng.uniform(size=(len(pts), 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=64)
+
+    opt = _dc.replace(
+        OptimizationParams(),
+        use_perceptual_loss=False,
+        initial=0,
+        init_until_iter=0,
+        volume_render_until_iter=0,
+        indirect_from_iter=2,
+        densify_from_iter=10_000,
+        feature_rest_from_iter=100_000,
+        lambda_normal_render_depth=0.0,
+        lambda_dist=0.0,
+    )
+    trainer = Trainer(
+        model,
+        cams,
+        images,
+        opt,
+        _dc.replace(PipelineParams(), indirect_type="raytracing_residual"),
+        cameras_extent=3.0,
+        raster_cfg=RasterizeConfig(pair_capacity=1 << 12, interpret=True),
+        envmap_res=16,
+        tracer_cfg=TCFG,
+        use_mesh_visibility=False,  # residual branch forces mesh anyway
+        mesh_tri_capacity=1 << 11,
+        mesh_resolution=24,
+    )
+    trainer.train(4, log_every=1)
+    assert trainer.mesh is not None, "residual branch must extract a mesh"
+    assert trainer.state.env_gs is None, "residual flavor spawns no env-GS"
+    last = trainer.metrics_log[-1]
+    assert np.isfinite(last["loss"]), last
+    assert "mesh_cull_dropped" in last
