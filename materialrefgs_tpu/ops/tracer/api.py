@@ -55,6 +55,7 @@ class _Prepared(NamedTuple):
     order: jax.Array  # (Pc,) morton order (padded with P-index sentinel)
     centers: jax.Array  # (G, 3) cluster centers
     radii: jax.Array  # (G,) cluster bounding radii (incl. 3-sigma splat extent)
+    cluster_alive: jax.Array  # (G,) any alive gaussian in the cluster
 
 
 def _cluster_gaussians(means3d, scales, alive_mask):
@@ -83,7 +84,16 @@ def _cluster_gaussians(means3d, scales, alive_mask):
     centers = jnp.sum(pts * w[..., None], axis=1) / wsum
     dist = jnp.linalg.norm(pts - centers[:, None], axis=-1)
     radii = jnp.max(jnp.where(w, dist + r3, 0.0), axis=1)
-    return _Prepared(order=order, centers=centers, radii=radii)
+    # All-dead clusters get center (0,0,0) / radius 0 — the scene origin,
+    # which reflected-ray cones routinely contain. Without an explicit alive
+    # mask they pass the stage-1 cone test, flood the cluster-pair budget
+    # (capacity-P >> alive-P means MOST clusters are dead), displace real
+    # clusters from the fixed-size nonzero() list, and megainflate the
+    # overflow counter (round-3 flagship: 26M reported at surfel2 onset).
+    return _Prepared(
+        order=order, centers=centers, radii=radii,
+        cluster_alive=jnp.sum(w, axis=1) > 0,
+    )
 
 
 def _bundle_stats(rays_o, rays_d):
@@ -185,6 +195,7 @@ def trace(
         tant[:, None],
         config.tmin,
     )  # (NB, G)
+    ok_bc = ok_bc & prep.cluster_alive[None, :]
     flat_idx = jnp.nonzero(
         ok_bc.reshape(-1), size=config.cluster_pair_capacity, fill_value=NB * G
     )[0]

@@ -25,21 +25,30 @@ import numpy as np
 
 
 def build_trainer(scene, images, opt, pipe, extent, *, pair_capacity, capacity,
-                  exact_order, use_mesh, with_warp, seed=3407):
-    from materialrefgs_tpu.models import gaussian_model as gm
+                  exact_order, use_mesh, with_warp, seed=3407, start_ply=None):
+    from materialrefgs_tpu.models import gaussian_io, gaussian_model as gm
     from materialrefgs_tpu.ops.rasterize.api import RasterizeConfig
     from materialrefgs_tpu.ops.tracer.api import TracerConfig
     from materialrefgs_tpu.train.trainer import Trainer
 
-    pcd = scene.info.point_cloud
     rng = np.random.default_rng(seed)
-    if len(pcd.points) > capacity // 4:
-        sel = rng.choice(len(pcd.points), capacity // 4, replace=False)
-        pcd = pcd._replace(points=pcd.points[sel], colors=pcd.colors[sel])
-    model = gm.create_from_points(
-        pcd.points, pcd.colors, capacity=capacity, rng=rng,
-        init_refl=opt.init_refl_value, init_roughness=opt.init_roughness_value,
-    )
+    if start_ply:
+        # Warm start from a trained PLY: realistic geometry => realistic
+        # reflected-ray coherence (an untrained cloud overflows the tracer
+        # ~50x and is NOT representative of in-curriculum step cost).
+        model, _, _ = gaussian_io.load_ply(
+            os.path.join(start_ply, "point_cloud.ply"), capacity=capacity
+        )
+    else:
+        pcd = scene.info.point_cloud
+        if len(pcd.points) > capacity // 4:
+            sel = rng.choice(len(pcd.points), capacity // 4, replace=False)
+            pcd = pcd._replace(points=pcd.points[sel], colors=pcd.colors[sel])
+        model = gm.create_from_points(
+            pcd.points, pcd.colors, capacity=capacity, rng=rng,
+            init_refl=opt.init_refl_value,
+            init_roughness=opt.init_roughness_value,
+        )
     return Trainer(
         model, scene.train_cameras, images, opt, pipe,
         cameras_extent=extent, bg_color=(1.0, 1.0, 1.0),
@@ -75,6 +84,9 @@ def main():
     ap.add_argument("--pair_capacity", type=int, default=1 << 20)
     ap.add_argument("--variants", nargs="+",
                     default=["full", "approx", "nomesh", "nowarp", "surfel"])
+    ap.add_argument("--start_ply", default=None,
+                    help="point_cloud/iteration_N dir for a realistic warm "
+                         "start (strongly recommended)")
     args = ap.parse_args()
 
     from materialrefgs_tpu import config as cfg
@@ -103,7 +115,8 @@ def main():
             s = opt.init_until_iter + 7
         tr = build_trainer(scene, images, opt, pipe, scene.cameras_extent,
                            pair_capacity=args.pair_capacity,
-                           capacity=args.capacity, **kw)
+                           capacity=args.capacity, start_ply=args.start_ply,
+                           **kw)
         results[v] = time_variant(v, tr, s, args.iters)
         del tr
     print({k: round(v * 1e3, 1) for k, v in results.items()})

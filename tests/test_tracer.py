@@ -235,3 +235,35 @@ def test_tracer_exact_order_gradients_multichunk():
         # exact order.
         frac_bad = np.mean(np.abs(a - b) > 1e-2 * scale + 1e-4)
         assert frac_bad < 0.05, (n, frac_bad, np.abs(a - b).max(), scale)
+
+
+@pytest.mark.core
+def test_dead_capacity_padding_does_not_flood_cluster_budget(rng):
+    """Dead clusters (capacity >> alive: centers collapse to the origin,
+    radius 0) must NOT pass the stage-1 cone cull: rays aimed at the origin
+    would otherwise pair with every dead cluster, displacing real clusters
+    from the fixed nonzero list and megainflating the overflow counter
+    (round-3 flagship regression: 26M reported overflow at surfel2 onset)."""
+    means, scales, rots, opac, colors, shs = make_scene(rng, P=64)
+    CAP = 8192  # 32 clusters; only the first holds alive gaussians
+    pad = CAP - 64
+    means_p = jnp.concatenate([means, jnp.zeros((pad, 3))])
+    scales_p = jnp.concatenate([scales, jnp.full((pad, 2), 1e-3)])
+    rots_p = jnp.concatenate([rots, jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (pad, 1))])
+    opac_p = jnp.concatenate([opac, jnp.zeros(pad)])  # dead: below 1/255
+    shs_p = jnp.concatenate([shs, jnp.zeros((pad, 16, 3))])
+
+    o, d = make_rays(rng)  # aimed straight at the origin region
+    # A cluster budget that fits the ALIVE clusters with room to spare but
+    # would overflow instantly if the 31 dead clusters paired with both
+    # bundles.
+    cfg = TracerConfig(
+        pair_capacity=1 << 13, cluster_pair_capacity=8, interpret=True
+    )
+    out = trace(o, d, means_p, scales_p, rots_p, opac_p, shs_p, cfg)
+    assert int(out["overflow"]) == 0, int(out["overflow"])
+    # And the render matches the unpadded scene exactly.
+    ref = trace(o, d, means, scales, rots, opac, shs, CFG)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=1e-5
+    )
