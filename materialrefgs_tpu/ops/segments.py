@@ -46,12 +46,37 @@ def build_aligned_segments(
         sid_sorted, jnp.arange(S + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = raw_start[1:] - raw_start[:-1]
-    padded = ((counts + K_CHUNK - 1) // K_CHUNK) * K_CHUNK
+    if capacity >= 2 * S * K_CHUNK:
+        # Graceful truncation: when demand exceeds capacity, shrink every
+        # segment PROPORTIONALLY instead of zeroing out the trailing
+        # segments (which removed whole image regions' supervision). Pairs
+        # are key-sorted within each segment (depth / ray-t), so the
+        # per-segment cut drops the FAR tail — exactly what front-to-back
+        # alpha compositing attenuates most. The S*K_CHUNK headroom term
+        # guarantees the padded layout fits. (f32 ratio: counts < 2^24, so
+        # the floor is at worst off by one pair.)
+        padded = ((counts + K_CHUNK - 1) // K_CHUNK) * K_CHUNK
+        total_padded = jnp.sum(padded)
+        ratio = (
+            jnp.float32(capacity) - jnp.float32(S * K_CHUNK)
+        ) / jnp.maximum(total_padded.astype(jnp.float32), 1.0)
+        counts_eff = jnp.where(
+            total_padded <= capacity,
+            counts,
+            jnp.floor(counts.astype(jnp.float32) * ratio).astype(jnp.int32),
+        )
+    else:
+        # Capacity can't give every segment even one chunk: keep the legacy
+        # leading-segment layout (tiny-capacity test configs).
+        counts_eff = counts
+    padded_eff = ((counts_eff + K_CHUNK - 1) // K_CHUNK) * K_CHUNK
     padded_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_eff).astype(jnp.int32)]
     )
     seg_start = jnp.minimum(padded_start, capacity)
-    seg_count = jnp.minimum(counts, seg_start[1:] - seg_start[:-1]).astype(jnp.int32)
+    seg_count = jnp.minimum(counts_eff, seg_start[1:] - seg_start[:-1]).astype(
+        jnp.int32
+    )
 
     # Per-sorted-pair segment attributes via delta-scatter + cumsum (sorted
     # segment ids — avoids per-pair random gathers, see rasterize/binning.py).

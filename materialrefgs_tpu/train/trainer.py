@@ -893,11 +893,13 @@ class Trainer:
             factor *= 2
         new_pc = min(cfg.pair_capacity * factor, self.MAX_TRACER_PAIR_CAPACITY)
         new_cpc = cfg.cluster_pair_capacity * (new_pc // cfg.pair_capacity)
+        lo = max(iteration - self.OVERFLOW_CHECK_EVERY + 1, 1)
         print(
             f"[warn] it={iteration}: tracer overflow {int(overflow)}; "
             f"pair_capacity {cfg.pair_capacity} -> {new_pc}, "
             f"cluster_pair_capacity {cfg.cluster_pair_capacity} -> "
-            f"{new_cpc} (retracing)"
+            f"{new_cpc} (retracing; iterations {lo}..{iteration} may have "
+            f"traced truncated)"
         )
         self.tracer_cfg = _dc.replace(
             cfg, pair_capacity=new_pc, cluster_pair_capacity=new_cpc
@@ -939,9 +941,11 @@ class Trainer:
                 f"pair_capacity already at MAX ({cap}); renders are truncated"
             )
             return
+        lo = max(iteration - self.OVERFLOW_CHECK_EVERY + 1, 1)
         print(
             f"[warn] it={iteration}: binning overflow {int(overflow)}; "
-            f"pair_capacity {cap} -> {new_cap} (recompiling step fns)"
+            f"pair_capacity {cap} -> {new_cap} (recompiling step fns; "
+            f"iterations {lo}..{iteration} may have rendered truncated)"
         )
         self.raster_cfg = dataclasses.replace(self.raster_cfg, pair_capacity=new_cap)
         self._steps.clear()

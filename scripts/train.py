@@ -35,6 +35,10 @@ def main():
                          "--iterations and explicit flags")
     ap.add_argument("--capacity", type=int, default=1 << 19)
     ap.add_argument("--pair_capacity", type=int, default=1 << 20)
+    ap.add_argument("--tracer_pair_capacity", type=int, default=None,
+                    help="splat-tracer pair budget (default: --pair_capacity); "
+                         "set high to skip overflow-escalation recompiles in "
+                         "the surfel2 stage")
     ap.add_argument("--approx_tracer_order", action="store_true",
                     help="train the env-GS tracer with the faster shared "
                          "list-order compositing instead of per-ray exact "
@@ -290,7 +294,11 @@ def main():
         ref_score_masks=ref_score_masks,
         nearest_ids=scene.nearest_ids,
         with_warp=(opt.multi_view_ncc_weight > 0),
-        tracer_cfg=TracerConfig(pair_capacity=args.pair_capacity,
+        tracer_cfg=TracerConfig(pair_capacity=args.tracer_pair_capacity
+                                or args.pair_capacity,
+                                cluster_pair_capacity=(
+                                    args.tracer_pair_capacity
+                                    or args.pair_capacity) >> 7,
                                 interpret=(args.device == "cpu"),
                                 exact_order=not args.approx_tracer_order),
         mesh_dir=os.path.join(args.model_path, "meshes"),
