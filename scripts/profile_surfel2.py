@@ -55,6 +55,8 @@ def build_trainer(scene, images, opt, pipe, extent, *, pair_capacity, capacity,
         raster_cfg=RasterizeConfig(pair_capacity=pair_capacity),
         seed=seed, nearest_ids=scene.nearest_ids, with_warp=with_warp,
         tracer_cfg=TracerConfig(pair_capacity=pair_capacity,
+                                cluster_pair_capacity=pair_capacity >> 7,
+                                mesh_cull_cap=256,
                                 exact_order=exact_order),
         use_mesh_visibility=use_mesh,
     )
@@ -83,7 +85,9 @@ def main():
     ap.add_argument("--capacity", type=int, default=1 << 18)
     ap.add_argument("--pair_capacity", type=int, default=1 << 20)
     ap.add_argument("--variants", nargs="+",
-                    default=["full", "approx", "nomesh", "nowarp", "surfel"])
+                    default=["full", "approx", "nomesh", "nowarp", "surfel"],
+                    help="full/approx/nomesh/nowarp/surfel/warp (warp = "
+                         "past the warp gate)")
     ap.add_argument("--start_ply", default=None,
                     help="point_cloud/iteration_N dir for a realistic warm "
                          "start (strongly recommended)")
@@ -105,6 +109,8 @@ def main():
     for v in args.variants:
         kw = dict(exact_order=True, use_mesh=True, with_warp=True)
         s = start
+        if v == "warp":
+            s = max(start, opt.multi_view_weight_from_iter + 7)
         if v == "approx":
             kw["exact_order"] = False
         elif v == "nomesh":
@@ -117,6 +123,11 @@ def main():
                            pair_capacity=args.pair_capacity,
                            capacity=args.capacity, start_ply=args.start_ply,
                            **kw)
+        # Freeze capacities for stable timing: escalation would recompile
+        # mid-measurement (graceful truncation keeps renders sane instead).
+        tr.MAX_TRACER_PAIR_CAPACITY = tr.tracer_cfg.pair_capacity
+        tr.MAX_PAIR_CAPACITY = args.pair_capacity
+        tr.MAX_MESH_CULL_CAP = tr.tracer_cfg.mesh_cull_cap
         results[v] = time_variant(v, tr, s, args.iters)
         del tr
     print({k: round(v * 1e3, 1) for k, v in results.items()})
