@@ -299,6 +299,7 @@ def main():
                                 cluster_pair_capacity=(
                                     args.tracer_pair_capacity
                                     or args.pair_capacity) >> 7,
+                                mesh_cull_cap=512,
                                 interpret=(args.device == "cpu"),
                                 exact_order=not args.approx_tracer_order),
         mesh_dir=os.path.join(args.model_path, "meshes"),
@@ -312,6 +313,12 @@ def main():
         detect_anomaly=args.detect_anomaly,
         **trainer_kw,
     )
+
+    if args.tracer_pair_capacity:
+        # An explicit tracer budget is the operator's chip-budget statement:
+        # pin escalation to it (graceful truncation degrades the far tail
+        # instead; ops/segments.py).
+        trainer.MAX_TRACER_PAIR_CAPACITY = args.tracer_pair_capacity
 
     os.makedirs(args.model_path, exist_ok=True)
     from materialrefgs_tpu.utils.logging_utils import TrainLogger
