@@ -122,6 +122,19 @@ def main():
         max_roughness=model_params.envmap_max_roughness,
     )
 
+    # Trained environment map dumps (reference eval.py:129-139: latlong
+    # grids of env1/env2 next to metric.txt).
+    import jax.nn as jnn
+
+    from materialrefgs_tpu.evaluate import save_png
+    from materialrefgs_tpu.ops.cubemap import cubemap_to_latlong
+
+    for name, env in (("env1", env1), ("env2", env2)):
+        if env is None:
+            continue
+        img = np.asarray(jnn.sigmoid(cubemap_to_latlong(env.base, 512, 1024)))
+        save_png(os.path.join(args.model_path, f"{name}.png"), np.clip(img, 0, 1))
+
     env_ply = os.path.join(pc_dir, f"iteration_{it}", "env_point_cloud.ply")
     env_model = None
     if os.path.exists(env_ply):
