@@ -151,6 +151,18 @@ class OptimizationParams:
     # just-reset garbage depth maps prevent recovery (round-3 flagship
     # collapse: 33 -> 8 PSNR within 100 iterations of warp onset).
     multi_view_weight_from_iter: int = 10000
+    # Which warp terms are ACTUALLY APPLIED. The reference computes geo+NCC
+    # in every trainer but refnerf/glossy DISCARD them (calc_warp_loss
+    # returns `None, None, base_color_loss, ...`, train_refnerf.py:745 /
+    # train_glossy.py:772 — all NCC blocks commented out); only refreal
+    # returns and adds them (train_refreal.py:729, :1216-1221). Training
+    # refnerf with the NCC/geo terms enabled collapses: NCC on reflective
+    # pixels pushes normals/distance to explain view-dependent highlights.
+    use_warp_geo_loss: bool = False
+    use_warp_ncc_loss: bool = False
+    # Base-color warp start (the `iteration > 10000` literal,
+    # train_refnerf.py:534; schedule-scaled).
+    basecolor_warp_from_iter: int = 10000
     multi_view_patch_size: int = 3
     multi_view_sample_num: int = 102400
     multi_view_pixel_noise_th: float = 1.0
@@ -236,6 +248,10 @@ def preset_refreal() -> tuple[ModelParams, PipelineParams, OptimizationParams]:
             multi_view_weight_from_iter=7000,
             multi_view_ncc_weight=0.15,
             lambda_dist=1000.0,
+            # refreal applies the geo + reflectivity-gated NCC warp terms
+            # (train_refreal.py:729 returns them; :707 get_consistency_loss2).
+            use_warp_geo_loss=True,
+            use_warp_ncc_loss=True,
             perceptual_loss_start_iter=16000,
             ref_score_loss_weight=0.01,
             unbounded_mesh=True,
@@ -288,6 +304,7 @@ _SCHEDULE_INT_FIELDS = (
     "dist_loss_start",
     "sh_ladder_interval",
     "multi_view_weight_from_iter",
+    "basecolor_warp_from_iter",
     "perceptual_loss_start_iter",
     "rghmtl_warp_loss_start_iter",
     "ref_score_start_iter",

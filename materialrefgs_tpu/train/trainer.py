@@ -276,7 +276,11 @@ def make_train_step(
             wl = warp_mod.calc_warp_loss(
                 camera, nearest_camera, pkg, nearest_pkg, gt_gray, ngray,
                 msk, opt, it, extra["warp_key"],
-                use_ncc=opt.multi_view_ncc_weight > 0 and opt.use_multi_view_trim,
+                use_ncc=(
+                    opt.use_warp_ncc_loss
+                    and opt.multi_view_ncc_weight > 0
+                    and opt.use_multi_view_trim
+                ),
             )
             gate_w = (it > opt.multi_view_weight_from_iter).astype(jnp.float32)
             # Virtual-camera steps have no GT for the nearest view: only the
@@ -290,7 +294,10 @@ def make_train_step(
                 )
             )
             tb["loss_warp_geo"] = wl.geo_loss
+            tb["loss_warp_ncc"] = wl.ncc_loss
             tb["loss_warp_bc"] = wl.base_color_loss
+            tb["loss_warp_mtl"] = wl.metallic_warp_loss
+            tb["loss_warp_rgh"] = wl.roughness_warp_loss
 
         # Reflection-score material supervision (train_refreal.py:1237-1263):
         # inside the score mask pull metallic -> 0.9 / roughness -> 0.05,
@@ -481,11 +488,14 @@ def make_train_step(
             for path, leaf in jax.tree_util.tree_flatten_with_path(gp)[0]:
                 named["grad.param" + jax.tree_util.keystr(path)] = leaf
             for name, tree in named.items():
+                leaves = jax.tree_util.tree_leaves(tree)
                 cnt = sum(
-                    jnp.sum(~jnp.isfinite(l)).astype(jnp.int32)
-                    for l in jax.tree_util.tree_leaves(tree)
+                    jnp.sum(~jnp.isfinite(l)).astype(jnp.int32) for l in leaves
                 )
                 metrics[f"nonfinite/{name}"] = cnt
+                metrics[f"gradmax/{name}"] = jnp.max(
+                    jnp.stack([jnp.max(jnp.abs(l)) for l in leaves])
+                )
         return state, metrics
 
     if not jit:

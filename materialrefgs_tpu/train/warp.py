@@ -176,7 +176,13 @@ def calc_warp_loss(
         ],
         axis=-1,
     )
-    pixel_noise = jnp.linalg.norm(proj - pixels_all, axis=-1)
+    # NOT jnp.linalg.norm: its backward is inf*0=NaN at exact zeros, and a
+    # perfectly-consistent pixel (proj == pixels) produces exactly that —
+    # one NaN here poisons xyz/rotation/scaling/opacity gradients for every
+    # splat the pixel touches (round-3 flagship collapse at warp onset:
+    # 18k nonfinite grad entries in the FIRST warp iteration).
+    dproj = proj - pixels_all
+    pixel_noise = jnp.sqrt(jnp.sum(dproj * dproj, axis=-1) + 1e-12)
     if not opt.wo_use_geo_occ_aware:
         d_mask = d_mask & (pixel_noise < opt.multi_view_pixel_noise_th)
         weights = jax.lax.stop_gradient(1.0 / jnp.exp(pixel_noise))
@@ -185,9 +191,17 @@ def calc_warp_loss(
     weights = jnp.where(d_mask, weights, 0.0)
 
     n_valid = jnp.sum(d_mask)
-    geo_loss = opt.multi_view_geo_weight * jnp.sum(
-        weights * pixel_noise
-    ) / jnp.maximum(n_valid, 1)
+    # geo_loss is computed by every reference trainer but APPLIED only by
+    # refreal (train_refnerf.py:745 returns None for it; train_refreal.py:729
+    # returns it and :1216 adds it). The gate is STRUCTURAL (Python-level):
+    # a 0.0 weight would still trace the term and let any backward NaN
+    # through as 0 * NaN.
+    if opt.use_warp_geo_loss:
+        geo_loss = opt.multi_view_geo_weight * jnp.sum(
+            weights * pixel_noise
+        ) / jnp.maximum(n_valid, 1)
+    else:
+        geo_loss = jnp.float32(0.0)
 
     # Random subset of valid pixels (static size).
     score = jnp.where(d_mask, jax.random.uniform(key, d_mask.shape), -1.0)
@@ -234,7 +248,13 @@ def calc_warp_loss(
     grid = patch_warp(Hrel, ori_patch)  # (N, P, 2)
     patch_near = norm_coords(grid)
 
-    # NCC photometric patch loss (refreal path, loss_utils.py lncc).
+    # NCC photometric patch loss — the refreal-only path
+    # (get_consistency_loss2, train_refreal.py:358-396): gradients flow
+    # through the WARP COORDINATES (homography <- normals/distance), and a
+    # no-grad REFLECTIVITY GATE skips pixels whose mean metallic across the
+    # two views >= 0.2 — multi-view photometric consistency is exactly what
+    # reflections violate (the paper's premise), and NCC on reflective
+    # pixels collapses geometry (round-3 flagship regression).
     ref_gray = grid_sample(gt_gray[..., None], patch_ref.reshape(-1, 2)).reshape(
         sample_num, total_patch
     )
@@ -243,21 +263,37 @@ def calc_warp_loss(
     )
     ncc_loss = jnp.float32(0.0)
     if use_ncc:
+        refl_ref = grid_sample(
+            jax.lax.stop_gradient(render_pkg["refl_strength_map"]),
+            jax.lax.stop_gradient(patch_ref.reshape(-1, 2)),
+        ).reshape(sample_num, total_patch).mean(axis=-1)
+        refl_nst = grid_sample(
+            jax.lax.stop_gradient(nearest_pkg["refl_strength_map"]),
+            jax.lax.stop_gradient(patch_near.reshape(-1, 2)),
+        ).reshape(sample_num, total_patch).mean(axis=-1)
+        not_reflective = (refl_ref + refl_nst) < 0.4
         ncc, ncc_mask = lncc(ref_gray, near_gray)
-        m = ncc_mask[:, 0] & sel_valid
+        m = ncc_mask[:, 0] & sel_valid & not_reflective
         ncc_loss = opt.multi_view_ncc_weight * jnp.sum(
             jnp.where(m, ncc[:, 0] * w_sel, 0.0)
         ) / jnp.maximum(jnp.sum(m), 1)
 
-    # Base-color warp (train_refnerf.py:535-548, 639, 696).
-    gate_bc = (it > 10000).astype(jnp.float32)
+    # Base-color warp (train_refnerf.py:535-548, 639, 696). Gradient-flow
+    # contract: the CURRENT view's samples sit inside the reference's
+    # torch.no_grad() block (train_refnerf.py:512-541) and the nearest
+    # view's are taken at grid.detach() — so the warp pulls the NEAREST
+    # view's rendered map toward the current view's DETACHED one, through
+    # map values only (never through the homography).
+    gate_bc = (it > opt.basecolor_warp_from_iter).astype(jnp.float32)
 
     def sample_map(mp, coords):
         return grid_sample(mp, coords.reshape(-1, 2)).reshape(
             sample_num, total_patch, -1
         )
 
-    bc_ref = sample_map(render_pkg["diffuse_map"], jax.lax.stop_gradient(patch_ref))
+    bc_ref = jax.lax.stop_gradient(
+        sample_map(render_pkg["diffuse_map"], patch_ref)
+    )
     bc_near = sample_map(nearest_pkg["diffuse_map"], jax.lax.stop_gradient(patch_near))
     bc_diff = jnp.mean(jnp.sum(jnp.abs(bc_ref - bc_near), axis=-1), axis=-1)
     base_color_loss = (
@@ -271,7 +307,12 @@ def calc_warp_loss(
     # opt.directional_rghmtl_warp_alignment=False falls back to plain
     # symmetric-difference alignment (:661-662, :675-676).
     def directional_warp(name, direction):
-        a = sample_map(render_pkg[name], jax.lax.stop_gradient(patch_ref))[..., 0]
+        # Same gradient contract as base color: the ref side is constant
+        # (inside the reference's no_grad block), only the nearest view's
+        # map values receive gradient.
+        a = jax.lax.stop_gradient(
+            sample_map(render_pkg[name], patch_ref)[..., 0]
+        )
         b = sample_map(nearest_pkg[name], jax.lax.stop_gradient(patch_near))[..., 0]
         m = bg_edge_ok & sel_valid
         if not opt.directional_rghmtl_warp_alignment:

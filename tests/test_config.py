@@ -26,3 +26,18 @@ def test_scale_schedule_scales_warp_gate():
     assert o2.multi_view_weight_from_iter == 6250
     assert o2.indirect_from_iter == 5000
     assert o2.iterations == 12500
+
+
+@pytest.mark.core
+def test_warp_term_application_matches_reference_trainers():
+    # refnerf/glossy discard geo+NCC (train_refnerf.py:745 / glossy :772
+    # return None for them); refreal applies both (refreal :729, :1216-1221).
+    _, _, o = cfg.preset_refnerf()
+    assert not o.use_warp_geo_loss and not o.use_warp_ncc_loss
+    _, _, o = cfg.preset_glossy()
+    assert not o.use_warp_geo_loss and not o.use_warp_ncc_loss
+    _, _, o = cfg.preset_refreal()
+    assert o.use_warp_geo_loss and o.use_warp_ncc_loss
+    # Base-color warp literal (train_refnerf.py:534) is schedule-scaled.
+    _, _, o = cfg.preset_refnerf()
+    assert cfg.scale_schedule(o, 0.25).basecolor_warp_from_iter == 2500

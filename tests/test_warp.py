@@ -117,3 +117,103 @@ def test_mono_normal_loss_perfect_prior():
     )
     assert float(l1s) < 1e-5 and float(coss) < 1e-6
     assert float(l1r) < 1e-5 and float(cosr) < 1e-6
+
+
+def test_warp_gradient_contract_matches_reference():
+    """Gradient-flow parity with the reference's no_grad structure
+    (train_refnerf.py:512-541 + grid.detach()): the base-color warp must
+    have ZERO gradient into the CURRENT view's diffuse map and a nonzero
+    gradient into the NEAREST view's; with use_warp_geo_loss=False (the
+    refnerf/glossy reality — calc_warp_loss returns None for geo/ncc,
+    train_refnerf.py:745) the geo term is exactly zero."""
+    import dataclasses as _dc
+
+    c1, c2 = make_two_cams()
+    H, W = c1.height, c1.width
+    d1, d2 = plane_depth(c1), plane_depth(c2)
+    n_world = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (H, W, 3))
+
+    def pkg(cam, depth, diffuse):
+        rays = cam.get_rays()
+        nv = n_world.reshape(-1, 3) @ cam.world_view[:3, :3]
+        dist = jnp.abs(
+            jnp.sum(nv.reshape(H, W, 3) * (rays * depth[..., None]), axis=-1)
+        )
+        return {
+            "surf_depth": depth,
+            "rend_normal": n_world,
+            "rend_distance": dist[..., None],
+            "diffuse_map": diffuse,
+            "refl_strength_map": jnp.zeros((H, W, 1)),
+            "roughness_map": jnp.zeros((H, W, 1)),
+        }
+
+    opt = OptimizationParams(multi_view_sample_num=256)
+    assert not opt.use_warp_geo_loss and not opt.use_warp_ncc_loss
+    gray = jnp.full((H, W), 0.5)
+    mask = jnp.ones((H, W))
+    key = jax.random.PRNGKey(1)
+
+    def bc_loss(ref_diffuse, nst_diffuse):
+        out = warp.calc_warp_loss(
+            c1, c2, pkg(c1, d1, ref_diffuse), pkg(c2, d2, nst_diffuse),
+            gray, gray, mask, opt, jnp.float32(20000), key, use_ncc=False,
+        )
+        return out.base_color_loss + out.geo_loss, out
+
+    ref_d = jnp.full((H, W, 3), 0.3)
+    nst_d = jnp.full((H, W, 3), 0.7)
+    (g_ref, g_nst), out = jax.grad(
+        bc_loss, argnums=(0, 1), has_aux=True
+    )(ref_d, nst_d)
+    assert float(out.geo_loss) == 0.0
+    assert float(out.base_color_loss) > 1e-4  # maps differ -> active loss
+    assert float(jnp.max(jnp.abs(g_ref))) == 0.0, "grad leaked into ref view"
+    assert float(jnp.max(jnp.abs(g_nst))) > 0.0, "nearest view got no grad"
+
+
+def test_ncc_reflectivity_gate_skips_reflective_pixels():
+    """get_consistency_loss2 (train_refreal.py:358-396): pixels whose mean
+    two-view metallic >= 0.2 are excluded from the NCC mask."""
+    import dataclasses as _dc
+
+    c1, c2 = make_two_cams()
+    H, W = c1.height, c1.width
+    d1, d2 = plane_depth(c1), plane_depth(c2)
+    n_world = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (H, W, 3))
+
+    def pkg(cam, depth, refl):
+        rays = cam.get_rays()
+        nv = n_world.reshape(-1, 3) @ cam.world_view[:3, :3]
+        dist = jnp.abs(
+            jnp.sum(nv.reshape(H, W, 3) * (rays * depth[..., None]), axis=-1)
+        )
+        return {
+            "surf_depth": depth,
+            "rend_normal": n_world,
+            "rend_distance": dist[..., None],
+            "diffuse_map": jnp.full((H, W, 3), 0.5),
+            "refl_strength_map": jnp.full((H, W, 1), refl),
+            "roughness_map": jnp.zeros((H, W, 1)),
+        }
+
+    opt = OptimizationParams(
+        multi_view_sample_num=256, use_warp_ncc_loss=True,
+        use_warp_geo_loss=True,
+    )
+    # DIFFERENT grays => nonzero NCC wherever the mask admits pixels.
+    g1 = jnp.linspace(0, 1, H * W).reshape(H, W)
+    g2 = g1.T
+    mask = jnp.ones((H, W))
+    key = jax.random.PRNGKey(2)
+
+    out_matte = warp.calc_warp_loss(
+        c1, c2, pkg(c1, d1, 0.0), pkg(c2, d2, 0.0), g1, g2, mask, opt,
+        jnp.float32(20000), key, use_ncc=True,
+    )
+    out_mirror = warp.calc_warp_loss(
+        c1, c2, pkg(c1, d1, 0.9), pkg(c2, d2, 0.9), g1, g2, mask, opt,
+        jnp.float32(20000), key, use_ncc=True,
+    )
+    assert float(out_matte.ncc_loss) > 1e-4
+    assert float(out_mirror.ncc_loss) == 0.0, "reflective pixels not gated"
