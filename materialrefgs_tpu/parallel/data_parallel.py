@@ -50,7 +50,7 @@ def make_dp_production_step(
     pipe: PipelineParams,
     spatial_lr_scale: float,
     raster_cfg: RasterizeConfig,
-    envmap_n_samples: int = 8,
+    envmap_n_samples: int = 32,
     with_warp: bool = False,
     with_mono_normal: bool = False,
     tracer_cfg=None,

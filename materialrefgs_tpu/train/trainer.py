@@ -553,6 +553,7 @@ class Trainer:
         # pretrained VGG16 (round-2 VERDICT item 3). Loud degradation keeps
         # both properties: the run starts, and the operator cannot miss it.
         self.lpips_weights = None
+        self.lpips_disabled = False  # durable degradation record (-> cfg_args)
         if opt.use_perceptual_loss:
             from materialrefgs_tpu.train import lpips as lpips_mod
 
@@ -573,6 +574,7 @@ class Trainer:
                 )
                 opt = dataclasses.replace(opt, use_perceptual_loss=False)
                 self.opt = opt
+                self.lpips_disabled = True
         self.images = [jnp.asarray(im) for im in images]
         self.masks = [jnp.asarray(m) for m in masks] if masks else None
         self.normal_priors = (
@@ -590,6 +592,7 @@ class Trainer:
 
             tracer_cfg = TracerConfig()
         self.tracer_cfg = tracer_cfg
+        self._tracer_preescalated = False
         self.cameras_extent = cameras_extent
         self.bg = jnp.asarray(bg_color, jnp.float32)
         self.raster_cfg = raster_cfg
@@ -771,6 +774,35 @@ class Trainer:
         self._order: list[int] = []
         for iteration in range(start_iter, start_iter + num_iters):
             stage = select_stage(iteration, opt)
+            if stage == "surfel2" and not self._tracer_preescalated:
+                # Pre-escalate the tracer budget AT the stage boundary: onset
+                # demand (~8-10M candidate pairs, BASELINE.md) exceeds any
+                # warm-up budget, and reactive escalation means ~1000
+                # iterations of truncated supervision plus a mid-stage
+                # recompile (round-3 flagship). The boundary compiles anyway,
+                # so jumping straight to MAX here is free.
+                self._tracer_preescalated = True
+                cfg = self.tracer_cfg
+                # Only when the operator pinned an explicit budget
+                # (--tracer_pair_capacity sets the INSTANCE attribute);
+                # otherwise unit tests entering surfel2 with tiny configs
+                # would balloon to the 4.2M class default.
+                pinned = "MAX_TRACER_PAIR_CAPACITY" in vars(self)
+                if pinned and cfg.pair_capacity < self.MAX_TRACER_PAIR_CAPACITY:
+                    import dataclasses as _dc
+
+                    ratio = self.MAX_TRACER_PAIR_CAPACITY // cfg.pair_capacity
+                    print(
+                        f"[it={iteration}] surfel2 onset: tracer "
+                        f"pair_capacity {cfg.pair_capacity} -> "
+                        f"{self.MAX_TRACER_PAIR_CAPACITY} (pre-escalation)"
+                    )
+                    self.tracer_cfg = _dc.replace(
+                        cfg,
+                        pair_capacity=self.MAX_TRACER_PAIR_CAPACITY,
+                        cluster_pair_capacity=cfg.cluster_pair_capacity * ratio,
+                    )
+                    self._steps.clear()
             if (
                 stage == "surfel2"
                 and self.state.env_gs is None

@@ -15,15 +15,27 @@ from materialrefgs_tpu.cameras import Camera
 
 
 def _quat_from_R(R: np.ndarray) -> np.ndarray:
-    qw = np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 1e-12)) / 2.0
-    return np.array(
-        [
-            qw,
-            (R[2, 1] - R[1, 2]) / (4 * qw),
-            (R[0, 2] - R[2, 0]) / (4 * qw),
-            (R[1, 0] - R[0, 1]) / (4 * qw),
-        ]
-    )
+    # Branch-on-largest-diagonal (Shepperd's method): the naive trace form
+    # divides by 4*qw, which vanishes for near-180-degree rotations and
+    # corrupts interpolated poses between opposing views.
+    t = R[0, 0] + R[1, 1] + R[2, 2]
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        q = [s / 4, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2.0
+        q = [(R[2, 1] - R[1, 2]) / s, s / 4, (R[0, 1] + R[1, 0]) / s,
+             (R[0, 2] + R[2, 0]) / s]
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 - R[0, 0] + R[1, 1] - R[2, 2]) * 2.0
+        q = [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s, s / 4,
+             (R[1, 2] + R[2, 1]) / s]
+    else:
+        s = np.sqrt(1.0 - R[0, 0] - R[1, 1] + R[2, 2]) * 2.0
+        q = [(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+             (R[1, 2] + R[2, 1]) / s, s / 4]
+    return np.array(q)
 
 
 def _R_from_quat(q: np.ndarray) -> np.ndarray:

@@ -320,6 +320,17 @@ def main():
         # instead; ops/segments.py).
         trainer.MAX_TRACER_PAIR_CAPACITY = args.tracer_pair_capacity
 
+    if getattr(trainer, "lpips_disabled", False):
+        # Durable degradation record: the console banner alone is not enough
+        # for a long headless run — re-dump cfg_args so the persisted config
+        # reflects that the perceptual loss did NOT run.
+        cfg.dump_config(
+            args.model_path, model_params, pipe, trainer.opt,
+            extra={"preset": args.preset, "capacity": args.capacity,
+                   "pair_capacity": args.pair_capacity, "seed": args.seed,
+                   "lpips_disabled": True},
+        )
+
     os.makedirs(args.model_path, exist_ok=True)
     from materialrefgs_tpu.utils.logging_utils import TrainLogger
 
