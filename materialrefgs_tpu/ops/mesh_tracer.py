@@ -274,6 +274,7 @@ def trace(
     use_cull: bool = True,
     cull_cap: int | None = None,
     ray_block: int | None = None,
+    block_mask: jax.Array | None = None,  # (R/per_block,) bool
 ):
     """Nearest-hit trace. Returns dict with
       pos (..., 3), normal (..., 3), depth (...,), tri (...,), bary (..., 2),
@@ -284,7 +285,14 @@ def trace(
     use_cull enables the Morton-cluster AABB pre-cull: exact as long as
     cull_dropped == 0. cull_cap (default 64 clusters = 4096 triangles per
     256-ray block) bounds the per-block survivor list; callers should check
-    cull_dropped and re-trace with a larger cap when it is nonzero."""
+    cull_dropped and re-trace with a larger cap when it is nonzero.
+
+    block_mask=False blocks report a miss for every ray without running the
+    intersection scan (the block map is a lax.scan, so lax.cond genuinely
+    skips the work) — callers whose downstream use is alpha-gated (the
+    reference traces only render_alpha > 0 pixels, refl_utils.py:319-330)
+    mask whole background ray blocks this way. Requires the ray count to be
+    a multiple of the block size (pre-bundled callers)."""
     shape = rays_o.shape[:-1]
     o = rays_o.reshape(-1, 3)
     d = rays_d.reshape(-1, 3)
@@ -295,6 +303,20 @@ def trace(
     o = jnp.concatenate([o, jnp.zeros((R_pad - R, 3))], 0)
     d = jnp.concatenate([d, jnp.ones((R_pad - R, 3))], 0)
     n_blk = R_pad // per_block
+    if block_mask is None:
+        mask = jnp.ones((n_blk,), bool)
+    else:
+        assert R == R_pad and block_mask.shape == (n_blk,), (
+            R, R_pad, block_mask.shape, n_blk)
+        mask = block_mask
+
+    def _miss(Rb):
+        return (
+            jnp.full((Rb,), jnp.inf),
+            jnp.full((Rb,), -1, jnp.int32),
+            jnp.zeros((Rb,)),
+            jnp.zeros((Rb,)),
+        )
 
     if use_cull:
         gran = TRI_CHUNK // CLUSTER
@@ -302,23 +324,35 @@ def trace(
         cap = min(max(((cap + gran - 1) // gran) * gran, gran), ((NC + gran - 1) // gran) * gran)
 
         def blk(args):
-            return _trace_block_culled(mesh, args[0], args[1], t_min, t_far, cap)
+            o_b, d_b, m_b = args
+            return jax.lax.cond(
+                m_b,
+                lambda: _trace_block_culled(mesh, o_b, d_b, t_min, t_far, cap),
+                lambda: (*_miss(per_block), jnp.int32(0)),
+            )
 
         t, tri, u, v, ndrop = jax.lax.map(
-            blk, (o.reshape(n_blk, per_block, 3), d.reshape(n_blk, per_block, 3))
+            blk,
+            (o.reshape(n_blk, per_block, 3), d.reshape(n_blk, per_block, 3), mask),
         )
         cull_dropped = jnp.sum(ndrop)
     else:
         gid = jnp.arange(mesh.n_tris, dtype=jnp.int32)
 
         def blk(args):
-            return _trace_block(
-                mesh.v0, mesh.e1, mesh.e2, mesh.valid, gid,
-                args[0], args[1], t_min, t_far,
+            o_b, d_b, m_b = args
+            return jax.lax.cond(
+                m_b,
+                lambda: _trace_block(
+                    mesh.v0, mesh.e1, mesh.e2, mesh.valid, gid,
+                    o_b, d_b, t_min, t_far,
+                ),
+                lambda: _miss(per_block),
             )
 
         t, tri, u, v = jax.lax.map(
-            blk, (o.reshape(n_blk, per_block, 3), d.reshape(n_blk, per_block, 3))
+            blk,
+            (o.reshape(n_blk, per_block, 3), d.reshape(n_blk, per_block, 3), mask),
         )
         cull_dropped = jnp.int32(0)
     t, tri, u, v = (x.reshape(-1)[:R] for x in (t, tri, u, v))

@@ -170,8 +170,17 @@ def trace(
     shs: jax.Array,  # (P, K_sh, 3) SH coefficients (deg via K_sh)
     config: TracerConfig = TracerConfig(),
     sh_degree: int = 3,
+    bundle_mask: jax.Array | None = None,  # (N/256,) bool: trace this bundle?
 ) -> dict:
-    """Trace rays against a surfel cloud. Returns per-ray rgb/acc/depth/normal."""
+    """Trace rays against a surfel cloud. Returns per-ray rgb/acc/depth/normal.
+
+    `bundle_mask=False` bundles produce zero output (rgb/acc/depth/normal=0,
+    final_T=1) at near-zero cost: their (bundle, cluster) pairs are culled in
+    stage 1, so they bin no gaussian pairs and the kernel's per-bundle
+    while-loop exits immediately. Callers use this to skip rays whose traced
+    result is multiplied away downstream — the reference traces visibility
+    only where render_alpha > 0 (refl_utils.py:319-330) and its indirect
+    light is alpha-gated in shading (refl_utils.py:364-401)."""
     N = rays_o.shape[0]
     assert N % NRAY == 0, N
     NB = N // NRAY
@@ -196,6 +205,8 @@ def trace(
         config.tmin,
     )  # (NB, G)
     ok_bc = ok_bc & prep.cluster_alive[None, :]
+    if bundle_mask is not None:
+        ok_bc = ok_bc & bundle_mask.reshape(NB, 1)
     flat_idx = jnp.nonzero(
         ok_bc.reshape(-1), size=config.cluster_pair_capacity, fill_value=NB * G
     )[0]

@@ -54,12 +54,24 @@ def bundles_to_image(x: jax.Array, H: int, W: int):
     return xb.reshape(gy * TILE, gx * TILE, C)[:H, :W]
 
 
+def bundle_alpha_mask(render_alpha: jax.Array, H: int, W: int) -> jax.Array:
+    """(H, W, 1) render alpha -> (NB,) bool: any pixel in the 16x16 tile hit
+    geometry. Reflected rays are only shaded where render_alpha > 0 (the
+    specular color is alpha-gated, refl_utils.py:364-401, and the reference
+    traces visibility only under mask = render_alpha > 0, :319-330), so
+    background bundles — whose rays start at degenerate surface points and
+    sweep the whole env cloud — can skip the trace entirely."""
+    ab = rays_to_bundles(jax.lax.stop_gradient(render_alpha), H, W)
+    return jnp.max(ab.reshape(-1, TILE * TILE), axis=1) > 0.0
+
+
 def render_indirect(
     env_model: GaussianModel,
     camera: Camera,
     normal_map: jax.Array,  # (H, W, 3)
     surf_depth: jax.Array,  # (H, W)
     tracer_cfg: TracerConfig,
+    bundle_mask: jax.Array | None = None,  # (NB,) bool, see bundle_alpha_mask
 ) -> dict:
     """Reflect camera rays at the surface, trace env gaussians (ref :716)."""
     H, W = camera.height, camera.width
@@ -84,6 +96,7 @@ def render_indirect(
         shs,
         tracer_cfg,
         sh_degree=env_model.max_sh_degree,
+        bundle_mask=bundle_mask,
     )
     return {
         "render": bundles_to_image(out["rgb"], H, W),
@@ -100,10 +113,13 @@ def trace_visibility(
     normal_map: jax.Array,
     surf_depth: jax.Array,
     tracer_cfg: TracerConfig,
+    bundle_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns ((H, W, 1) soft visibility, () overflow count): trace the
     main cloud along reflected rays, vis = 1 - acc (replaces the mesh BVH
-    occlusion query). Nonzero overflow means the trace truncated pairs."""
+    occlusion query). Nonzero overflow means the trace truncated pairs.
+    Masked bundles come back acc=0 -> vis=1, the reference's untraced
+    default (visibility = ones outside mask, refl_utils.py:319-330)."""
     H, W = camera.height, camera.width
     rays_cam, rays_o = shading.camera_rays_world(camera, unnormalized=True)
     inter = rays_o[None, None, :] + surf_depth[..., None] * rays_cam
@@ -124,6 +140,7 @@ def trace_visibility(
         shs,
         tracer_cfg,
         sh_degree=0,
+        bundle_mask=bundle_mask,
     )
     vis = 1.0 - out["acc"][:, None]
     return (
@@ -188,8 +205,10 @@ def render_surfel2(
     render_alpha = regs["rend_alpha"]
     normal_map = regs["rend_normal"] / jnp.maximum(render_alpha, 1e-6)
 
+    active = bundle_alpha_mask(render_alpha, camera.height, camera.width)
     indirect_results = render_indirect(
-        env_model, camera, normal_map, regs["surf_depth"], tracer_cfg
+        env_model, camera, normal_map, regs["surf_depth"], tracer_cfg,
+        bundle_mask=active,
     )
     indirect_light = indirect_results["render"]
 
@@ -205,7 +224,8 @@ def render_surfel2(
         )
     elif with_visibility:
         visibility, vis_overflow = trace_visibility(
-            pc, camera, normal_map, regs["surf_depth"], tracer_cfg
+            pc, camera, normal_map, regs["surf_depth"], tracer_cfg,
+            bundle_mask=active,
         )
         tracer_overflow = tracer_overflow + vis_overflow
 

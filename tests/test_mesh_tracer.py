@@ -316,3 +316,29 @@ def test_culled_trace_exact_with_heavy_padding():
     np.testing.assert_array_equal(
         np.asarray(brute["tri"]), np.asarray(culled["tri"])
     )
+
+
+def test_trace_block_mask_skips_blocks(sphere):
+    """block_mask=False blocks report a miss for every ray; True blocks are
+    bit-identical to an unmasked trace."""
+    verts, faces, mesh = sphere
+    rng = np.random.default_rng(5)
+    n_blk, per = 4, 256
+    o = rng.normal(size=(n_blk * per, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, -1, keepdims=True) * 3.0
+    d = (-o / np.linalg.norm(o, -1, keepdims=True)).astype(np.float32)
+
+    full = mt.trace(mesh, o, d, ray_block=per)
+    mask = jnp.asarray([True, False, False, True])
+    part = mt.trace(mesh, o, d, ray_block=per, block_mask=mask)
+
+    fd = np.asarray(full["depth"]).reshape(n_blk, per)
+    pd = np.asarray(part["depth"]).reshape(n_blk, per)
+    ft = np.asarray(full["tri"]).reshape(n_blk, per)
+    pt = np.asarray(part["tri"]).reshape(n_blk, per)
+    np.testing.assert_array_equal(pd[0], fd[0])
+    np.testing.assert_array_equal(pd[3], fd[3])
+    np.testing.assert_array_equal(pt[0], ft[0])
+    # Masked blocks: all rays miss (depth = t_far sentinel, tri = -1).
+    assert np.all(pd[1] == mt.T_FAR) and np.all(pd[2] == mt.T_FAR)
+    assert np.all(pt[1] == -1) and np.all(pt[2] == -1)

@@ -267,3 +267,38 @@ def test_dead_capacity_padding_does_not_flood_cluster_budget(rng):
     np.testing.assert_allclose(
         np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=1e-5
     )
+
+
+@pytest.mark.core
+def test_tracer_bundle_mask():
+    """Masked bundles return zero output (final_T=1) and do not perturb the
+    active bundles' results (they only cull stage-1 pairs for themselves)."""
+    rng = np.random.default_rng(7)
+    means, scales, rots, opac, colors, shs = make_scene(rng)
+    ro, rd = make_rays(rng, n_bundles=4)
+
+    full = trace(ro, rd, means, scales, rots, opac, shs, CFG)
+    mask = jnp.asarray([True, False, True, False])
+    part = trace(ro, rd, means, scales, rots, opac, shs, CFG, bundle_mask=mask)
+
+    for k in ("rgb", "acc", "depth", "normal", "final_T"):
+        a = np.asarray(full[k]).reshape(4, 256, -1)
+        b = np.asarray(part[k]).reshape(4, 256, -1)
+        np.testing.assert_allclose(b[0], a[0], atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(b[2], a[2], atol=1e-6, err_msg=k)
+    for k, fill in [("rgb", 0.0), ("acc", 0.0), ("depth", 0.0),
+                    ("normal", 0.0), ("final_T", 1.0)]:
+        b = np.asarray(part[k]).reshape(4, 256, -1)
+        np.testing.assert_allclose(b[1], fill, atol=0, err_msg=k)
+        np.testing.assert_allclose(b[3], fill, atol=0, err_msg=k)
+
+    # Gradients only flow to/through active bundles.
+    def loss_fn(rd_in):
+        out = trace(ro, rd_in, means, scales, rots, opac, shs, CFG,
+                    bundle_mask=mask)
+        return jnp.sum(out["rgb"] ** 2)
+
+    g = jax.grad(loss_fn)(rd)
+    g = np.asarray(g).reshape(4, 256, 3)
+    assert np.all(g[1] == 0) and np.all(g[3] == 0)
+    assert np.any(g[0] != 0) or np.any(g[2] != 0)
