@@ -56,6 +56,7 @@ def _extra(n, it=5000.0):
     return e
 
 
+@pytest.mark.core
 def test_dp_one_device_matches_plain_step(rng):
     """pmean over a 1-chip mesh is identity: the DP production step must
     reproduce the plain jitted step exactly."""

@@ -39,6 +39,7 @@ def setup():
     return model, env_model, cam, mips
 
 
+@pytest.mark.core
 def test_render_surfel2_runs(setup):
     model, env_model, cam, mips = setup
     out = render_surfel2(
@@ -53,6 +54,7 @@ def test_render_surfel2_runs(setup):
     assert vis.min() >= 0.0 and vis.max() <= 1.0
 
 
+@pytest.mark.core
 def test_render_surfel2_env_gradients(setup):
     """Gradients must flow into the environment gaussians via the tracer."""
     model, env_model, cam, mips = setup

@@ -162,6 +162,7 @@ def _loss_terms(out):
     )
 
 
+@pytest.mark.core
 def test_tracer_exact_order_gradients():
     """VERDICT r2 item 2: exact_order training gradients vs trace_reference
     autodiff — per-ray compositing order AND per-ray SH color, including
