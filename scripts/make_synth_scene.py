@@ -126,12 +126,13 @@ def surface_props(p, hid):
     return n, alb, met, rough
 
 
-def trace(o, d, depth=0):
-    """Returns (rgb, alpha) for rays (N,3)."""
+def trace(o, d, depth=0, bg_env=False):
+    """Returns (rgb, alpha) for rays (N,3). bg_env renders the environment
+    on primary-ray misses (COLMAP/real-scene stand-in: photos have no alpha)."""
     t, hid = intersect(o, d)
     hit = hid >= 0
     rgb = np.zeros_like(o)
-    rgb[~hit] = env_radiance(d[~hit]) if depth > 0 else 0.0
+    rgb[~hit] = env_radiance(d[~hit]) if (depth > 0 or bg_env) else 0.0
     if not hit.any():
         return rgb, hit.astype(np.float64)
     p = o[hit] + t[hit, None] * d[hit]
@@ -173,7 +174,7 @@ def look_at_c2w(eye, target, up=np.array([0.0, 0.0, 1.0])):
     return c2w
 
 
-def render_view(c2w, res, fov_x, spp=2, seed=0):
+def render_view(c2w, res, fov_x, spp=2, seed=0, bg_env=False):
     f = 0.5 * res / np.tan(0.5 * fov_x)
     rng = np.random.default_rng(seed)
     acc = np.zeros((res * res, 3))
@@ -187,7 +188,7 @@ def render_view(c2w, res, fov_x, spp=2, seed=0):
         dirs = dirs_cam @ c2w[:3, :3].T
         dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
         o = np.broadcast_to(c2w[:3, 3], dirs.shape).copy()
-        rgb, a = trace(o, dirs)
+        rgb, a = trace(o, dirs, bg_env=bg_env)
         acc += rgb
         aac += a
     rgb = (acc / spp).reshape(res, res, 3)
@@ -195,6 +196,65 @@ def render_view(c2w, res, fov_x, spp=2, seed=0):
     # linear -> sRGB-ish tonemap
     rgb = np.clip(rgb, 0, 1) ** (1 / 2.2)
     return rgb, alpha
+
+
+# ------------------------------------------------------------ COLMAP writer --
+
+
+def _quat_from_R_wxyz(R):
+    """Shepperd's branch-on-largest-diagonal rotation->quaternion (w,x,y,z)."""
+    t = R[0, 0] + R[1, 1] + R[2, 2]
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        q = [s / 4, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2.0
+        q = [(R[2, 1] - R[1, 2]) / s, s / 4, (R[0, 1] + R[1, 0]) / s,
+             (R[0, 2] + R[2, 0]) / s]
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 - R[0, 0] + R[1, 1] - R[2, 2]) * 2.0
+        q = [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s, s / 4,
+             (R[1, 2] + R[2, 1]) / s]
+    else:
+        s = np.sqrt(1.0 - R[0, 0] - R[1, 1] + R[2, 2]) * 2.0
+        q = [(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+             (R[1, 2] + R[2, 1]) / s, s / 4]
+    q = np.asarray(q)
+    return q if q[0] >= 0 else -q
+
+
+def write_colmap_sparse(out, c2ws, names, res, fov_x, pts, cols):
+    """Write sparse/0/{cameras,images,points3D}.bin in COLMAP binary format
+    (data/colmap_loader.py read_*_binary contracts; exercises the C++
+    native_io fast path end-to-end). c2ws are Blender/OpenGL c2w matrices."""
+    import struct
+
+    sp = os.path.join(out, "sparse", "0")
+    os.makedirs(sp, exist_ok=True)
+    f_px = 0.5 * res / np.tan(0.5 * fov_x)
+    with open(os.path.join(sp, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        # PINHOLE model_id=1: fx fy cx cy
+        f.write(struct.pack("<iiQQ", 1, 1, res, res))
+        f.write(struct.pack("<4d", f_px, f_px, res / 2.0, res / 2.0))
+    with open(os.path.join(sp, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(c2ws)))
+        for i, (c2w, name) in enumerate(zip(c2ws, names)):
+            cv = c2w.copy()
+            cv[:3, 1:3] *= -1  # OpenGL -> OpenCV camera axes
+            w2c = np.linalg.inv(cv)
+            q = _quat_from_R_wxyz(w2c[:3, :3])
+            f.write(struct.pack("<idddddddi", i + 1, *q, *w2c[:3, 3], 1))
+            f.write(name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))  # no 2D points
+    with open(os.path.join(sp, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(pts)))
+        rgb8 = np.clip(cols * 255, 0, 255).astype(np.uint8)
+        for i in range(len(pts)):
+            f.write(struct.pack("<QdddBBBd", i, *pts[i].astype(np.float64),
+                                *rgb8[i], 0.5))
+            f.write(struct.pack("<Q", 0))  # empty track
 
 
 def sample_points(n, rng):
@@ -226,6 +286,14 @@ def main():
     ap.add_argument("--n_points", type=int, default=100_000)
     ap.add_argument("--init", choices=["surface", "random"], default="surface")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument(
+        "--layout", choices=["blender", "glossy", "colmap"], default="blender",
+        help="blender: transforms_{train,test}.json + {train,test}/ RGBA "
+             "(Shiny Blender Synthetic); glossy: same jsons but images under "
+             "rgb/ with alpha masks (nero2blender GlossySynthetic layout, "
+             "train_glossy.py:101-134); colmap: images/ RGB photos + "
+             "sparse/0 binary model, env background, llffhold eval split "
+             "(Shiny Blender Real / refreal layout)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -235,34 +303,70 @@ def main():
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
     target = np.array([0.0, 0.0, 0.35])
-    for split, n in [("train", args.n_train), ("test", args.n_test)]:
-        os.makedirs(os.path.join(args.out, split), exist_ok=True)
-        frames = []
-        golden = np.pi * (3 - np.sqrt(5))
-        for i in range(n):
-            az = i * golden + (0.5 if split == "test" else 0.0)
-            el = np.deg2rad(12 + 55 * ((i * 0.61803) % 1.0))
-            eye = target + 3.3 * np.array(
-                [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)]
-            )
-            c2w = look_at_c2w(eye, target)
-            rgb, alpha = render_view(c2w, args.res, args.fov_x, args.spp, seed=i)
-            im = np.concatenate([rgb, alpha[..., None]], axis=-1)
-            Image.fromarray((im * 255).astype(np.uint8), "RGBA").save(
-                os.path.join(args.out, split, f"r_{i}.png")
-            )
-            frames.append(
-                {"file_path": f"{split}/r_{i}", "transform_matrix": c2w.tolist()}
-            )
-        with open(os.path.join(args.out, f"transforms_{split}.json"), "w") as f:
-            json.dump({"camera_angle_x": args.fov_x, "frames": frames}, f)
-        print(f"{split}: {n} views @ {args.res}^2")
+    golden = np.pi * (3 - np.sqrt(5))
+
+    def spiral_c2w(i, split):
+        az = i * golden + (0.5 if split == "test" else 0.0)
+        el = np.deg2rad(12 + 55 * ((i * 0.61803) % 1.0))
+        eye = target + 3.3 * np.array(
+            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)]
+        )
+        return look_at_c2w(eye, target)
 
     if args.init == "surface":
         pts, cols = sample_points(args.n_points, rng)
     else:
         pts = (rng.random((args.n_points, 3)) * 2.6 - 1.3).astype(np.float32)
         cols = rng.random((args.n_points, 3)).astype(np.float32)
+
+    if args.layout == "colmap":
+        # Real-photo stand-in: one images/ dir, env-lit background, binary
+        # sparse model; the reader's llffhold=8 split makes train/test.
+        img_dir = os.path.join(args.out, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        n = args.n_train + args.n_test
+        c2ws, names = [], []
+        for i in range(n):
+            c2w = spiral_c2w(i, "train")
+            rgb, _ = render_view(
+                c2w, args.res, args.fov_x, args.spp, seed=i, bg_env=True
+            )
+            name = f"r_{i:03d}.png"
+            Image.fromarray((rgb * 255).astype(np.uint8), "RGB").save(
+                os.path.join(img_dir, name)
+            )
+            c2ws.append(c2w)
+            names.append(name)
+        write_colmap_sparse(
+            args.out, c2ws, names, args.res, args.fov_x, pts, cols
+        )
+        print(f"colmap: {n} views @ {args.res}^2, sparse/0 bin model "
+              f"({len(pts)} pts)")
+        return
+
+    img_sub = {"blender": None, "glossy": "rgb"}[args.layout]
+    if img_sub:
+        os.makedirs(os.path.join(args.out, img_sub), exist_ok=True)
+    for split, n in [("train", args.n_train), ("test", args.n_test)]:
+        if not img_sub:
+            os.makedirs(os.path.join(args.out, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            c2w = spiral_c2w(i, split)
+            rgb, alpha = render_view(c2w, args.res, args.fov_x, args.spp, seed=i)
+            im = np.concatenate([rgb, alpha[..., None]], axis=-1)
+            stem = (f"{img_sub}/r_{split}_{i}" if img_sub
+                    else f"{split}/r_{i}")
+            Image.fromarray((im * 255).astype(np.uint8), "RGBA").save(
+                os.path.join(args.out, stem + ".png")
+            )
+            frames.append(
+                {"file_path": stem, "transform_matrix": c2w.tolist()}
+            )
+        with open(os.path.join(args.out, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": args.fov_x, "frames": frames}, f)
+        print(f"{split}: {n} views @ {args.res}^2 ({args.layout})")
+
     write_point_cloud_ply(os.path.join(args.out, "points3d.ply"), pts, cols)
     print(f"points3d.ply: {len(pts)} pts ({args.init})")
 
