@@ -114,18 +114,26 @@ def trace_visibility(
     surf_depth: jax.Array,
     tracer_cfg: TracerConfig,
     bundle_mask: jax.Array | None = None,
+    offset: float = 3e-2,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns ((H, W, 1) soft visibility, () overflow count): trace the
     main cloud along reflected rays, vis = 1 - acc (replaces the mesh BVH
     occlusion query). Nonzero overflow means the trace truncated pairs.
     Masked bundles come back acc=0 -> vis=1, the reference's untraced
-    default (visibility = ones outside mask, refl_utils.py:319-330)."""
+    default (visibility = ones outside mask, refl_utils.py:319-330).
+
+    offset: ray-origin push along the reflected direction. The reference
+    uses 1e-3 against a BVH MESH (envgs_renderer.py:718-724) which its own
+    surface cannot self-occlude at that scale; this path traces the SPLAT
+    cloud, where the originating surfel itself extends ~2-sigma past the
+    rendered depth, so the default escapes it with a larger 3e-2 push
+    (characterized on a trained model by scripts/ab_visibility_offset.py)."""
     H, W = camera.height, camera.width
     rays_cam, rays_o = shading.camera_rays_world(camera, unnormalized=True)
     inter = rays_o[None, None, :] + surf_depth[..., None] * rays_cam
     w_o = normalize(-rays_cam)
     rays_refl = normalize(reflect(w_o, normal_map))
-    inter = inter + 3e-2 * rays_refl  # larger offset to escape own surfel
+    inter = inter + offset * rays_refl
 
     ro = rays_to_bundles(inter, H, W)
     rd = rays_to_bundles(rays_refl, H, W)
