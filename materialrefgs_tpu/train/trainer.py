@@ -15,6 +15,7 @@ frozen normal1/normal2, and a runtime-togglable opacity lr
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Callable
 
 import jax
@@ -903,6 +904,10 @@ class Trainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iteration"] = iteration
                 m["n_alive"] = int(self.state.model.n_alive)
+                # Host wall clock: stalls (remote recompiles, device queue
+                # waits) show up as inter-mark gaps, attributable to an
+                # iteration window instead of a 500-iter test segment.
+                m["wall"] = time.time()
                 self.metrics_log.append(m)
         return self.state
 
