@@ -278,24 +278,27 @@ def trace(
     nrm = R[:, :, 2]
 
     pg = pair_gauss
-    sh_pp = shs[pg, :n_sh, :]  # (B, n_sh, 3)
-    sh_rows = sh_pp.transpose(0, 2, 1).reshape(B, 3 * n_sh)  # channel-major
-
-    cols = [
-        means3d[pg],
-        tu_s[pg],
-        tv_s[pg],
-        nrm[pg],
-        opacities[pg][:, None],
-        sh_rows,
-    ]
-    payload = jnp.concatenate(cols, axis=-1)  # (B, 13 + 3*n_sh)
-    if payload.shape[1] < C_PAY:
+    # ONE fused (B, C) gather: TPU gather cost is per-INDEX with channels
+    # riding along, so 6 separate gathers (means/tu/tv/nrm/opa/shs) pay the
+    # 2M-index walk 6x, and the narrow ones get their minor dim lane-padded
+    # 3 -> 128 (42x HBM traffic; the (B, 16, 3) SH gather alone wastes
+    # ~16 GB at B=2M). Concatenating per-GAUSSIAN first (P = 262k rows,
+    # cheap) makes the pair expansion a single 61-channel gather — only
+    # 61 -> 128 lane padding (2.1x) — then one (B, C) -> (C, B) transpose
+    # lands the kernel layout. scripts/profile_tracer.py measures the
+    # alternatives: fused-six-gather 490 ms, per-component (B,) gathers
+    # 62 GB OOM (each pads to (B, 128)).
+    sh_flat = shs[:, :n_sh, :].transpose(0, 2, 1).reshape(P, 3 * n_sh)
+    g_all = jnp.concatenate(
+        [means3d, tu_s, tv_s, nrm, opacities[:, None], sh_flat], axis=1
+    )  # (P, 13 + 3*n_sh)
+    payload = g_all[pg]  # (B, 13 + 3*n_sh)
+    payload = jnp.where(pair_valid[:, None], payload, 0.0).T  # (C, B)
+    if payload.shape[0] < C_PAY:
         payload = jnp.concatenate(
-            [payload, jnp.zeros((B, C_PAY - payload.shape[1]), payload.dtype)],
-            axis=-1,
+            [payload, jnp.zeros((C_PAY - payload.shape[0], B), payload.dtype)],
+            axis=0,
         )
-    payload = jnp.where(pair_valid[:, None], payload, 0.0).T  # (C_PAY, B)
     payload = jnp.concatenate(
         [payload, jnp.zeros((C_PAY, K_CHUNK), payload.dtype)], axis=1
     )

@@ -215,27 +215,34 @@ def _geom(pay, o, d, tmin):
     )
 
 
-def _after_mask(tk_slab, lane_i, lane_j):
-    """(SLAB,K,K) strict 'j composites after i on this ray' comparator."""
+def _after_mask(tk_slab, lane_after):
+    """(SLAB,K,K) strict 'j composites after i on this ray' comparator.
+    lane_after is the PRECOMPUTED static (1,K,K) list-order tie-break."""
     ti = tk_slab[:, :, None]
     tj = tk_slab[:, None, :]
-    return ((tj > ti) | ((tj == ti) & (lane_j > lane_i))).astype(jnp.float32)
+    return ((tj > ti) | ((tj == ti) & lane_after)).astype(jnp.float32)
 
 
-def _before_mask(tk_slab, lane_i, lane_j):
+def _before_mask(tk_slab, lane_before):
     ti = tk_slab[:, :, None]
     tj = tk_slab[:, None, :]
-    return ((tj < ti) | ((tj == ti) & (lane_j < lane_i))).astype(jnp.float32)
+    return ((tj < ti) | ((tj == ti) & lane_before)).astype(jnp.float32)
 
 
-def _slab_matvec(mask_fn, t_key, values, lane_i, lane_j):
+# Comparator matvec precision: Mosaic supports only DEFAULT (bf16, would
+# round the f32 log-T values) and HIGHEST — keep HIGHEST.
+_DOT_MASK = _DOT
+
+
+def _slab_matvec(mask_fn, t_key, values, lane_cmp):
     """Per-ray comparator matvec: out[r, i] = sum_j mask(r,i,j) values[r, j]."""
     parts = []
     for r0 in range(0, NRAY, SLAB):
-        m = mask_fn(t_key[r0 : r0 + SLAB], lane_i, lane_j)
+        m = mask_fn(t_key[r0 : r0 + SLAB], lane_cmp)
         parts.append(
             jax.lax.dot_general(
-                m, values[r0 : r0 + SLAB], (((2,), (1,)), ((0,), (0,))), **_DOT
+                m, values[r0 : r0 + SLAB], (((2,), (1,)), ((0,), (0,))),
+                **_DOT_MASK,
             )
         )
     return jnp.concatenate(parts, axis=0)
@@ -261,6 +268,7 @@ def _fwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 1)
     lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 2)
+    lane_before = lane_j < lane_i
 
     def body(carry):
         chunk_i, logT, rgb, dep, nrm, final_logT, n_contrib = carry
@@ -282,7 +290,7 @@ def _fwd_kernel(
             # instead of the shared list-order triangular matmul. Slabbed
             # over rays so the (rows, K, K) mask fits VMEM.
             t_key = jnp.where(ok, g["t"], jnp.inf)
-            logT_excl = logT + _slab_matvec(_before_mask, t_key, lg, lane_i, lane_j)
+            logT_excl = logT + _slab_matvec(_before_mask, t_key, lg, lane_before)
             logT_incl = logT_excl + lg
         else:
             logT_incl = logT + jax.lax.dot_general(lg, m_incl, (((1,), (0,)), ((), ())), **_DOT)
@@ -411,6 +419,7 @@ def _bwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 1)
     lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 2)
+    lane_after = lane_j > lane_i
 
     def body(it, carry):
         carry_gw, carry_lg, do_acc, dd_acc = carry
@@ -436,7 +445,7 @@ def _bwd_kernel(
                 t_key = jnp.where(ok, g["t"], jnp.inf)
                 # Per-ray prefix transmittance from the saved total:
                 # prefix_excl_i = total - (lg_i + strict-after suffix).
-                suf_lg = carry_lg + _slab_matvec(_after_mask, t_key, lg, lane_i, lane_j)
+                suf_lg = carry_lg + _slab_matvec(_after_mask, t_key, lg, lane_after)
                 prefix_excl = total_lg - suf_lg - lg
                 logT_incl = prefix_excl + lg
                 included = logT_incl >= LOG_T_STOP
@@ -468,7 +477,7 @@ def _bwd_kernel(
 
             gw = Gw * w
             if exact_order:
-                suf_gw = carry_gw + _slab_matvec(_after_mask, t_key, gw, lane_i, lane_j)
+                suf_gw = carry_gw + _slab_matvec(_after_mask, t_key, gw, lane_after)
             else:
                 suf_gw = carry_gw + jax.lax.dot_general(gw, tril_s, (((1,), (0,)), ((), ())), **_DOT)
             one_m = jnp.where(ok, 1.0 - a, 1.0)
