@@ -185,6 +185,16 @@ class OptimizationParams:
     edge_aware_in_warp: bool = True
 
     ref_score_start_iter: int = 10000
+    # Env-GS maintenance cadence (update_env_gs_, env_gaussian_model3.py:
+    # 482-486 hardcodes 500 / 6000 / 30000). Exposed so scale_schedule can
+    # compress them with the rest of the curriculum: round-4's flagship at
+    # schedule_scale 0.25 kept the ABSOLUTE 6000 reset, which landed 1000
+    # iterations after the env cloud's birth; post-reset opacities (0.01)
+    # could not regrow past prune_opacity_threshold (0.05) before the next
+    # densify's prune and the whole env cloud died (tracer_overflow -> 0).
+    env_densify_interval: int = 500
+    env_reset_interval: int = 6000
+    env_update_until_iter: int = 30000
     ref_score_loss_weight: float = 0.01
     # Belongs to a commented-out ref-score variant in the reference
     # (train_refnerf.py:1279-1300); the live path uses 0.5*ref_score_loss_weight.
@@ -308,6 +318,9 @@ _SCHEDULE_INT_FIELDS = (
     "perceptual_loss_start_iter",
     "rghmtl_warp_loss_start_iter",
     "ref_score_start_iter",
+    "env_densify_interval",
+    "env_reset_interval",
+    "env_update_until_iter",
     "albedo_smoothness_start_iter",
 )
 _SCHEDULE_LADDER_FIELDS = ("normal_weight_ladder", "normal_gamma_ladder")

@@ -38,8 +38,11 @@ def save_ply(model: GaussianModel, path: str, env1: EnvLightParams | None = None
         props[k] = n2[:, i]
 
     # (P, K, 3) -> channel-major flatten (P, 3*K) like torch transpose(1,2).
+    # Explicit column count: reshape(-1) cannot infer the minor dim for an
+    # EMPTY selection (0 alive rows — e.g. a collapsed env cloud) and a
+    # failed save at the final iteration loses the whole run's artifact.
     def ch_major(a):
-        return a.transpose(0, 2, 1).reshape(a.shape[0], -1)
+        return a.transpose(0, 2, 1).reshape(a.shape[0], a.shape[1] * a.shape[2])
 
     f_dc = ch_major(take(p.features_dc))
     f_rest = ch_major(take(p.features_rest))

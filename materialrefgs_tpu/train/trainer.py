@@ -1009,12 +1009,12 @@ class Trainer:
         # 20000 < 30000).
         if (
             st.env_gs is not None
-            and iteration < 30000
-            and iteration % 500 == 0
+            and iteration < opt.env_update_until_iter
+            and iteration % opt.env_densify_interval == 0
         ):
             self.key, sub = jax.random.split(self.key)
             env_gs, env_opt = self._env_densify(st.env_gs, st.env_gs_opt_state, sub)
-            if iteration % 6000 == 0:
+            if iteration % opt.env_reset_interval == 0:
                 env_gs = gm.reset_opacity0(env_gs)
                 env_opt = gm.zero_adam_param(env_opt, "opacity")
             st = st.replace(env_gs=env_gs, env_gs_opt_state=env_opt)
