@@ -195,6 +195,27 @@ class OptimizationParams:
     env_densify_interval: int = 500
     env_reset_interval: int = 6000
     env_update_until_iter: int = 30000
+    # Post-reset prune grace in ABSOLUTE steps, deliberately NOT in
+    # _SCHEDULE_INT_FIELDS: after an env opacity reset (min(op, 0.01),
+    # env_gaussian_model3.py:260-263) opacities must regrow past
+    # prune_opacity_threshold (0.05) before the next prune or the cloud
+    # dies. The reference's regrowth window is its 500-step densify
+    # interval; regrowth speed is set by optimizer dynamics (opacity_lr x
+    # steps), which schedule compression does NOT scale — at scale 0.25 the
+    # scaled interval leaves 125 steps (4x less total gradient), and the
+    # round-4 flagship's env cloud died in exactly this trap even at 500.
+    # So prunes within env_prune_grace steps of a reset are skipped
+    # (densify still runs), preserving the reference's absolute regrowth
+    # budget under any compression.
+    env_prune_grace: int = 500
+    # Same absolute-regrowth principle for the MAIN model: the reference's
+    # post-reset window before the next prune is its densification interval
+    # (100 steps absolute); a compressed schedule shrinks it to
+    # 100 x scale steps, below what opacity_lr needs to lift 0.01 past the
+    # 0.05 prune threshold (at scale 0.03 the whole cloud died in the
+    # round-5 verify run). Prunes within prune_grace ABSOLUTE steps of a
+    # reset_opacity0 are skipped; densification still runs.
+    prune_grace: int = 100
     ref_score_loss_weight: float = 0.01
     # Belongs to a commented-out ref-score variant in the reference
     # (train_refnerf.py:1279-1300); the live path uses 0.5*ref_score_loss_weight.

@@ -160,34 +160,12 @@ def _trace_core_bwd(tmin, interpret, exact_order, n_sh, res, g):
 _trace_core.defvjp(_trace_core_fwd, _trace_core_bwd)
 
 
-def trace(
-    rays_o: jax.Array,  # (N, 3); N must be a multiple of 256
-    rays_d: jax.Array,  # (N, 3)
-    means3d: jax.Array,
-    scales: jax.Array,
-    rotations: jax.Array,
-    opacities: jax.Array,  # (P,)
-    shs: jax.Array,  # (P, K_sh, 3) SH coefficients (deg via K_sh)
-    config: TracerConfig = TracerConfig(),
-    sh_degree: int = 3,
-    bundle_mask: jax.Array | None = None,  # (N/256,) bool: trace this bundle?
-) -> dict:
-    """Trace rays against a surfel cloud. Returns per-ray rgb/acc/depth/normal.
-
-    `bundle_mask=False` bundles produce zero output (rgb/acc/depth/normal=0,
-    final_T=1) at near-zero cost: their (bundle, cluster) pairs are culled in
-    stage 1, so they bin no gaussian pairs and the kernel's per-bundle
-    while-loop exits immediately. Callers use this to skip rays whose traced
-    result is multiplied away downstream — the reference traces visibility
-    only where render_alpha > 0 (refl_utils.py:319-330) and its indirect
-    light is alpha-gated in shading (refl_utils.py:364-401)."""
-    N = rays_o.shape[0]
-    assert N % NRAY == 0, N
-    NB = N // NRAY
+def _cull(ro, rd, means3d, scales, opacities, config: TracerConfig, bundle_mask):
+    """Stages 1+2 of the trace: (bundle, cluster) cone cull, then exact
+    per-gaussian cone tests. Returns (gauss ids (CP,256), bundle-of-pair,
+    t_proj, okg validity, cluster_overflow)."""
+    NB = ro.shape[0]
     P = means3d.shape[0]
-
-    ro = rays_o.reshape(NB, NRAY, 3)
-    rd = rays_d.reshape(NB, NRAY, 3)
     o_c, d_c, r0, tant = _bundle_stats(ro, rd)
 
     alive = opacities >= (1.0 / 255.0)
@@ -250,7 +228,66 @@ def trace(
     okg = (t_proj >= config.tmin - r0_b - r_g) & (perp2 <= lim * lim)
     # Mask morton-order padding lanes (duplicated last gaussian) and dupes.
     okg = okg & cp_valid[:, None] & alive[gauss] & (gidx_sorted < P)
+    return gauss, b_of, t_proj, okg, cluster_overflow
 
+
+def trace_demand(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    means3d: jax.Array,
+    scales: jax.Array,
+    opacities: jax.Array,
+    config: TracerConfig = TracerConfig(),
+    bundle_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Pair DEMAND of a would-be trace (() int32): the cull stages only, no
+    binning/kernel. The trainer probes this at stage boundaries to size
+    pair_capacity so the first traced step is overflow-free by construction
+    (round-4 item 8: reactive escalation means >=OVERFLOW_CHECK_EVERY steps
+    of truncated supervision right at onset). Run with a generously sized
+    cluster_pair_capacity: cluster-truncated pairs are invisible to demand."""
+    N = rays_o.shape[0]
+    assert N % NRAY == 0, N
+    NB = N // NRAY
+    ro = rays_o.reshape(NB, NRAY, 3)
+    rd = rays_d.reshape(NB, NRAY, 3)
+    _, _, _, okg, cluster_overflow = _cull(
+        ro, rd, means3d, scales, opacities, config, bundle_mask
+    )
+    return jnp.sum(okg.astype(jnp.int32)) + cluster_overflow
+
+
+def trace(
+    rays_o: jax.Array,  # (N, 3); N must be a multiple of 256
+    rays_d: jax.Array,  # (N, 3)
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,  # (P,)
+    shs: jax.Array,  # (P, K_sh, 3) SH coefficients (deg via K_sh)
+    config: TracerConfig = TracerConfig(),
+    sh_degree: int = 3,
+    bundle_mask: jax.Array | None = None,  # (N/256,) bool: trace this bundle?
+) -> dict:
+    """Trace rays against a surfel cloud. Returns per-ray rgb/acc/depth/normal.
+
+    `bundle_mask=False` bundles produce zero output (rgb/acc/depth/normal=0,
+    final_T=1) at near-zero cost: their (bundle, cluster) pairs are culled in
+    stage 1, so they bin no gaussian pairs and the kernel's per-bundle
+    while-loop exits immediately. Callers use this to skip rays whose traced
+    result is multiplied away downstream — the reference traces visibility
+    only where render_alpha > 0 (refl_utils.py:319-330) and its indirect
+    light is alpha-gated in shading (refl_utils.py:364-401)."""
+    N = rays_o.shape[0]
+    assert N % NRAY == 0, N
+    NB = N // NRAY
+
+    ro = rays_o.reshape(NB, NRAY, 3)
+    rd = rays_d.reshape(NB, NRAY, 3)
+    gauss, b_of, t_proj, okg, cluster_overflow = _cull(
+        ro, rd, means3d, scales, opacities, config, bundle_mask
+    )
+    P = means3d.shape[0]
     seg = build_aligned_segments(
         b_of.reshape(-1),
         t_proj.reshape(-1),
@@ -258,7 +295,6 @@ def trace(
         NB,
         config.pair_capacity,
     )
-
     # Per-pair payload (pay_rows(n_sh), B + K): geometry rows + raw SH rows
     # (channel-major) — color is evaluated PER RAY inside the kernel at each
     # ray's own unit direction (optix_utils.py:84-271 contract).
@@ -320,4 +356,9 @@ def trace(
         "acc": 1.0 - final_T,
         "final_T": final_T,
         "overflow": seg.overflow + cluster_overflow,
+        # Actual pair demand (pre-truncation): overflow == 0 is ambiguous
+        # between "budget fits" and "nothing to trace" (the round-4 flagship
+        # env-cloud death read as overflow -> 0); demand disambiguates and
+        # is the trainer's liveness signal for the traced stage.
+        "pairs": jnp.sum(okg.astype(jnp.int32)),
     }

@@ -104,6 +104,7 @@ def render_indirect(
         "depth": bundles_to_image(out["depth"][:, None], H, W),
         "normal": bundles_to_image(out["normal"], H, W),
         "overflow": out["overflow"],
+        "pairs": out["pairs"],
     }
 
 
@@ -154,6 +155,51 @@ def trace_visibility(
     return (
         jax.lax.stop_gradient(bundles_to_image(vis, H, W)),
         out["overflow"],
+    )
+
+
+def tracer_demand_probe(
+    env_model: GaussianModel,
+    camera: Camera,
+    normal_map: jax.Array,  # (H, W, 3) alpha-divided
+    surf_depth: jax.Array,  # (H, W) or (H, W, 1)
+    render_alpha: jax.Array,  # (H, W, 1)
+    tracer_cfg: TracerConfig,
+    mesh=None,
+) -> jax.Array:
+    """Pair demand (() int32) of the indirect trace render_surfel2 would
+    issue from this view — cull stages only, no binning/kernel/grads. The
+    trainer probes this at the surfel2 boundary to size pair_capacity so the
+    first traced step is overflow-free by construction (VERDICT r4 item 8)."""
+    from materialrefgs_tpu.ops.tracer.api import trace_demand
+
+    H, W = camera.height, camera.width
+    if surf_depth.ndim == 3:
+        surf_depth = surf_depth[..., 0]
+    mask = bundle_alpha_mask(render_alpha, H, W)
+    if mesh is not None:
+        from materialrefgs_tpu.render.renderers import mesh_visibility_map
+
+        vis = mesh_visibility_map(
+            mesh, camera, normal_map, surf_depth, render_alpha,
+            cull_cap=tracer_cfg.mesh_cull_cap,
+        )
+        vb = rays_to_bundles(jax.lax.stop_gradient(vis), H, W)
+        mask = mask & (jnp.min(vb.reshape(-1, TILE * TILE), axis=1) < 0.5)
+
+    rays_cam, rays_o = shading.camera_rays_world(camera, unnormalized=True)
+    inter = rays_o[None, None, :] + surf_depth[..., None] * rays_cam
+    w_o = normalize(-rays_cam)
+    rays_refl = normalize(reflect(w_o, normal_map))
+    inter = inter + 1e-3 * rays_refl
+    return trace_demand(
+        rays_to_bundles(inter, H, W),
+        rays_to_bundles(rays_refl, H, W),
+        env_model.params.xyz,
+        env_model.get_scaling,
+        env_model.get_opacity[:, 0],
+        tracer_cfg,
+        bundle_mask=mask,
     )
 
 
@@ -214,15 +260,18 @@ def render_surfel2(
     normal_map = regs["rend_normal"] / jnp.maximum(render_alpha, 1e-6)
 
     active = bundle_alpha_mask(render_alpha, camera.height, camera.width)
-    indirect_results = render_indirect(
-        env_model, camera, normal_map, regs["surf_depth"], tracer_cfg,
-        bundle_mask=active,
-    )
-    indirect_light = indirect_results["render"]
 
+    # Visibility FIRST: traced indirect light only reaches the output as
+    # (1 - visibility) * indirect (surfel4 contract, refl_utils.py:364-401),
+    # so with the mesh's hard {0,1} visibility in hand the env-GS trace can
+    # skip every tile whose pixels are all unoccluded (vis == 1 everywhere
+    # -> indirect contribution AND its gradients are exactly zero there).
+    # On trained scenes the occluded (self-reflection) region is a small
+    # fraction of the image, and the exact-order kernel cost scales with
+    # actual pairs — the round-5 sub-second surfel2 step lever.
     visibility = None
     mesh_cull_dropped = jnp.int32(0)
-    tracer_overflow = indirect_results["overflow"]
+    indirect_mask = active
     if mesh is not None:
         from materialrefgs_tpu.render.renderers import mesh_visibility_map
 
@@ -230,7 +279,20 @@ def render_surfel2(
             mesh, camera, normal_map, regs["surf_depth"], render_alpha,
             cull_cap=tracer_cfg.mesh_cull_cap, with_dropped=True,
         )
-    elif with_visibility:
+        vb = rays_to_bundles(
+            jax.lax.stop_gradient(visibility), camera.height, camera.width
+        )
+        occluded = jnp.min(vb.reshape(-1, TILE * TILE), axis=1) < 0.5
+        indirect_mask = active & occluded
+
+    indirect_results = render_indirect(
+        env_model, camera, normal_map, regs["surf_depth"], tracer_cfg,
+        bundle_mask=indirect_mask,
+    )
+    indirect_light = indirect_results["render"]
+    tracer_overflow = indirect_results["overflow"]
+
+    if mesh is None and with_visibility:
         visibility, vis_overflow = trace_visibility(
             pc, camera, normal_map, regs["surf_depth"], tracer_cfg,
             bundle_mask=active,
@@ -278,6 +340,11 @@ def render_surfel2(
         # surfaced separately so the trainer escalates tracer_cfg, not the
         # rasterizer's pair capacity.
         "tracer_overflow": tracer_overflow,
+        # Pre-truncation pair demand of the indirect trace: the env-GS
+        # liveness signal (nonzero demand == the traced stage is actually
+        # compositing env gaussians; overflow alone cannot distinguish a
+        # fitting budget from a dead cloud).
+        "tracer_pairs": indirect_results["pairs"],
         "mesh_cull_dropped": mesh_cull_dropped,
         **regs,
         **extra,

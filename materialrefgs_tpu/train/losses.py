@@ -234,7 +234,10 @@ def calculate_loss(
         loss = loss + gate * opt.lambda_normal_smooth * ns
 
     if opt.lambda_depth_smooth > 0:
-        gate = (it > 3000).astype(jnp.float32)
+        # Reference literal `iteration > 3000` (loss_utils.py:193) == the
+        # dist_loss_start default; routed through the config field so
+        # schedule compression moves it with the curriculum.
+        gate = (it > opt.dist_loss_start).astype(jnp.float32)
         ds = first_order_edge_aware_loss(
             render_pkg["surf_depth"][..., None], gt_image
         )

@@ -379,6 +379,7 @@ def make_train_step(
             "radii": pkg["radii"],
             "overflow": pkg["overflow"],
             "tracer_overflow": pkg.get("tracer_overflow", jnp.int32(0)),
+            "tracer_pairs": pkg.get("tracer_pairs", jnp.int32(0)),
             "mesh_cull_dropped": pkg.get("mesh_cull_dropped", jnp.int32(0)),
         }
         return loss, aux
@@ -411,6 +412,7 @@ def make_train_step(
                 "tracer_overflow": jax.lax.psum(
                     aux["tracer_overflow"], axis_name
                 ),
+                "tracer_pairs": jax.lax.psum(aux["tracer_pairs"], axis_name),
                 "mesh_cull_dropped": jax.lax.psum(
                     aux["mesh_cull_dropped"], axis_name
                 ),
@@ -457,6 +459,13 @@ def make_train_step(
                 geg, state.env_gs_opt_state, state.env_gs.params
             )
             eg_lrs = lrs_of(state.step)
+            # freeze_geo past env_update_until (see _build_extra): xyz and
+            # scaling only — the reference's rotation freeze is dead code
+            # (misspelled param-group name, env_gaussian_model3.py:207).
+            fz = extra.get("env_geo_lr_scale", jnp.float32(1.0))
+            eg_lrs = eg_lrs.replace(
+                xyz=eg_lrs.xyz * fz, scaling=eg_lrs.scaling * fz
+            )
             new_eg = jax.tree_util.tree_map(
                 lambda p, u, lr: p - lr * u, state.env_gs.params, eg_updates, eg_lrs
             )
@@ -472,6 +481,7 @@ def make_train_step(
         metrics["loss"] = loss
         metrics["overflow"] = aux["overflow"]
         metrics["tracer_overflow"] = aux["tracer_overflow"]
+        metrics["tracer_pairs"] = aux["tracer_pairs"]
         metrics["mesh_cull_dropped"] = aux["mesh_cull_dropped"]
         if detect_anomaly:
             # --detect_anomaly analog (reference train_refnerf.py:1798,1832
@@ -634,6 +644,48 @@ class Trainer:
                 max_screen_size=None,
             )
         )
+        # size_threshold = 20 once past the env reset cadence
+        # (update_env_gs_, env_gaussian_model3.py:506-508).
+        self._env_densify_sized = jax.jit(
+            lambda model, opt_state, key: gm.densify_and_prune(
+                model,
+                opt_state,
+                key,
+                max_grad=1e-4,
+                min_opacity=opt.prune_opacity_threshold,
+                extent=cameras_extent,
+                max_screen_size=20.0,
+            )
+        )
+        # Post-reset grace: densify (clone/split) without pruning so reset
+        # opacities (0.01) get env_prune_grace ABSOLUTE steps to regrow past
+        # prune_opacity_threshold (see config.env_prune_grace).
+        self._env_densify_noprune = jax.jit(
+            lambda model, opt_state, key: gm.densify_and_prune(
+                model,
+                opt_state,
+                key,
+                max_grad=1e-4,
+                min_opacity=0.0,
+                extent=cameras_extent,
+                max_screen_size=None,
+            )
+        )
+        self._env_reset_at: int | None = None
+        # Main-model post-reset grace (config.prune_grace): densify without
+        # pruning until reset opacities had their absolute regrowth window.
+        self._densify_noprune = jax.jit(
+            lambda model, opt_state, key: gm.densify_and_prune(
+                model,
+                opt_state,
+                key,
+                max_grad=opt.densify_grad_threshold,
+                min_opacity=0.0,
+                extent=cameras_extent,
+                max_screen_size=None,
+            )
+        )
+        self._reset0_at: int | None = None
         self.spatial_lr_scale = cameras_extent
         self.metrics_log: list[dict] = []
         self.vis_dir = vis_dir
@@ -702,6 +754,14 @@ class Trainer:
             "normal_gamma": jnp.float32(normal_gamma_schedule(iteration, opt)),
             "warp_key": wkey,
             "bg": self.bg,
+            # freeze_geo (env_gaussian_model3.py:200-213): past
+            # env_update_until_iter the env model's xyz/scaling LRs drop to 0
+            # (appearance keeps training through the consolidation tail).
+            # NB the reference checks the misspelled group name "ratation",
+            # so its rotation LR is never actually zeroed — matched here.
+            "env_geo_lr_scale": jnp.float32(
+                0.0 if iteration > opt.env_update_until_iter else 1.0
+            ),
         }
         if self.masks is not None:
             extra["image_mask"] = self.masks[cam_id]
@@ -775,35 +835,6 @@ class Trainer:
         self._order: list[int] = []
         for iteration in range(start_iter, start_iter + num_iters):
             stage = select_stage(iteration, opt)
-            if stage == "surfel2" and not self._tracer_preescalated:
-                # Pre-escalate the tracer budget AT the stage boundary: onset
-                # demand (~8-10M candidate pairs, BASELINE.md) exceeds any
-                # warm-up budget, and reactive escalation means ~1000
-                # iterations of truncated supervision plus a mid-stage
-                # recompile (round-3 flagship). The boundary compiles anyway,
-                # so jumping straight to MAX here is free.
-                self._tracer_preescalated = True
-                cfg = self.tracer_cfg
-                # Only when the operator pinned an explicit budget
-                # (--tracer_pair_capacity sets the INSTANCE attribute);
-                # otherwise unit tests entering surfel2 with tiny configs
-                # would balloon to the 4.2M class default.
-                pinned = "MAX_TRACER_PAIR_CAPACITY" in vars(self)
-                if pinned and cfg.pair_capacity < self.MAX_TRACER_PAIR_CAPACITY:
-                    import dataclasses as _dc
-
-                    ratio = self.MAX_TRACER_PAIR_CAPACITY // cfg.pair_capacity
-                    print(
-                        f"[it={iteration}] surfel2 onset: tracer "
-                        f"pair_capacity {cfg.pair_capacity} -> "
-                        f"{self.MAX_TRACER_PAIR_CAPACITY} (pre-escalation)"
-                    )
-                    self.tracer_cfg = _dc.replace(
-                        cfg,
-                        pair_capacity=self.MAX_TRACER_PAIR_CAPACITY,
-                        cluster_pair_capacity=cfg.cluster_pair_capacity * ratio,
-                    )
-                    self._steps.clear()
             if (
                 stage == "surfel2"
                 and self.state.env_gs is None
@@ -824,6 +855,16 @@ class Trainer:
                 # Reference extracts the mesh + builds the BVH right at the
                 # indirect transition (train_refnerf.py:1036-1046, :1459).
                 self._extract_mesh(iteration)
+            if stage == "surfel2" and not self._tracer_preescalated:
+                # Size the tracer budget AT the stage boundary from a demand
+                # probe (cull stages only, no kernel) so the first traced
+                # step is overflow-free BY CONSTRUCTION — reactive
+                # escalation means up to OVERFLOW_CHECK_EVERY steps of
+                # truncated supervision plus a mid-stage recompile right at
+                # onset (round-3/4 flagships). Runs after env-GS init + mesh
+                # extraction above so the probe sees the real onset state.
+                self._tracer_preescalated = True
+                self._presize_tracer_capacity(iteration)
 
             # Volume -> surfel transition: re-init materials
             # (reset_gaussian_para, train_refnerf.py:1152-1153, :1508-1521).
@@ -904,6 +945,11 @@ class Trainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iteration"] = iteration
                 m["n_alive"] = int(self.state.model.n_alive)
+                # Env-cloud liveness at every mark (round-4 postmortem: the
+                # cloud died silently; "alive at the end" must be in the log,
+                # not prose) — alongside tracer_pairs in metrics above.
+                if self.state.env_gs is not None:
+                    m["env_n_alive"] = int(self.state.env_gs.n_alive)
                 # Host wall clock: stalls (remote recompiles, device queue
                 # waits) show up as inter-mark gaps, attributable to an
                 # iteration window instead of a 500-iter test segment.
@@ -916,6 +962,88 @@ class Trainer:
     MAX_MESH_CULL_CAP = 1 << 11  # 2048 clusters = 131k tris per block
 
     MAX_TRACER_PAIR_CAPACITY = 1 << 22
+
+    def _presize_tracer_capacity(self, iteration: int):
+        """Probe the surfel2 indirect trace's pair demand over a handful of
+        views and size pair_capacity to fit it (x1.5 margin, pow2) before
+        the first traced step compiles. The reactive escalation below stays
+        as the safety net for demand growth later in the stage."""
+        import dataclasses as _dc
+
+        if self.state.env_gs is None:
+            return
+        cfg = self.tracer_cfg
+        # Probes use a generous cluster budget: stage-1 truncation would
+        # hide demand (only surfaced as cluster_overflow, counted in).
+        probe_cfg = _dc.replace(
+            cfg,
+            cluster_pair_capacity=max(cfg.cluster_pair_capacity, 1 << 16),
+        )
+        from materialrefgs_tpu.render.envgs import tracer_demand_probe
+
+        probe = jax.jit(tracer_demand_probe, static_argnames=("tracer_cfg",))
+        mips = self._build_mips(self.state.env1)
+        demand = 0
+        n_probe = min(4, len(self.cameras))
+        ids = self.rng.choice(len(self.cameras), size=n_probe, replace=False)
+        for cam_id in ids:
+            pkg = self._render_view(int(cam_id), "surfel", mips=mips)
+            alpha = pkg["rend_alpha"]
+            nmap = pkg["rend_normal"] / jnp.maximum(alpha, 1e-6)
+            d = int(
+                probe(
+                    self.state.env_gs, self.cameras[int(cam_id)], nmap,
+                    pkg["surf_depth"], alpha, probe_cfg, self.mesh,
+                )
+            )
+            demand = max(demand, d)
+            if self.mesh is None:
+                # No mesh -> render_surfel2 also splat-traces the MAIN cloud
+                # for soft visibility (alpha-masked, typically the larger
+                # demand); each trace has its own pair buffer, so size to
+                # the max of the two.
+                dv = int(
+                    probe(
+                        self.state.model, self.cameras[int(cam_id)], nmap,
+                        pkg["surf_depth"], alpha, probe_cfg, None,
+                    )
+                )
+                demand = max(demand, dv)
+        ceiling = (
+            self.MAX_TRACER_PAIR_CAPACITY
+            if "MAX_TRACER_PAIR_CAPACITY" in vars(self)
+            else type(self).MAX_TRACER_PAIR_CAPACITY
+        )
+        # Fit the budget BOTH ways: growth prevents onset truncation, and
+        # shrinking matters just as much — binning/payload cost scales with
+        # capacity (312 ms at 2M pairs, BASELINE.md), and an operator-pinned
+        # 4.2M ceiling as the STARTING capacity would tax every step for
+        # headroom the vis-gated trace doesn't use. Floor: never below the
+        # configured capacity for small/unit-test configs.
+        floor = min(cfg.pair_capacity, 1 << 16)
+        target = floor
+        while target < int(demand * 1.5) and target < ceiling:
+            target *= 2
+        if target != cfg.pair_capacity:
+            print(
+                f"[it={iteration}] surfel2 onset: probed indirect-trace "
+                f"demand {demand} over {n_probe} views; tracer pair_capacity "
+                f"{cfg.pair_capacity} -> {target} (presized, ceiling {ceiling})"
+            )
+            # Keep the CLI's cluster:pair provisioning ratio (scripts/train.py
+            # uses >>7); under-provisioned clusters surface as tracer_overflow
+            # and the reactive escalation below catches them.
+            self.tracer_cfg = _dc.replace(
+                cfg,
+                pair_capacity=target,
+                cluster_pair_capacity=max(target >> 7, 1 << 9),
+            )
+            self._steps.clear()
+        else:
+            print(
+                f"[it={iteration}] surfel2 onset: probed indirect-trace "
+                f"demand {demand} fits pair_capacity {cfg.pair_capacity}"
+            )
 
     def _escalate_tracer_capacity(self, overflow: float, iteration: int):
         """Double the splat tracer's pair + cluster-pair budgets until the
@@ -1007,36 +1135,59 @@ class Trainer:
         # 30000) — independent of the main model's densify_until_iter, so
         # it must precede the early return below (refreal: densify_until
         # 20000 < 30000).
+        if st.env_gs is not None and iteration <= opt.env_update_until_iter:
+            # Env SH ladder rides the same global-iteration cadence as the
+            # main model and stops with env maintenance (update_env_gs_,
+            # env_gaussian_model3.py:497-499 oneups while iter <= 30000).
+            if iteration % opt.sh_ladder_interval == 0:
+                st = st.replace(env_gs=st.env_gs.oneup_sh_degree())
+                self.state = st
         if (
             st.env_gs is not None
             and iteration < opt.env_update_until_iter
             and iteration % opt.env_densify_interval == 0
         ):
             self.key, sub = jax.random.split(self.key)
-            env_gs, env_opt = self._env_densify(st.env_gs, st.env_gs_opt_state, sub)
+            in_grace = (
+                self._env_reset_at is not None
+                and iteration - self._env_reset_at < opt.env_prune_grace
+            )
+            if in_grace:
+                fn = self._env_densify_noprune
+            elif iteration > opt.env_reset_interval:
+                fn = self._env_densify_sized
+            else:
+                fn = self._env_densify
+            env_gs, env_opt = fn(st.env_gs, st.env_gs_opt_state, sub)
             if iteration % opt.env_reset_interval == 0:
                 env_gs = gm.reset_opacity0(env_gs)
                 env_opt = gm.zero_adam_param(env_opt, "opacity")
+                self._env_reset_at = iteration
             st = st.replace(env_gs=env_gs, env_gs_opt_state=env_opt)
             self.state = st
 
         if iteration >= opt.densify_until_iter or iteration == opt.volume_render_until_iter:
             return
         if iteration <= opt.init_until_iter:
-            dens_interval = 100
+            dens_interval = opt.densification_interval
         elif iteration <= opt.normal_prop_until_iter:
             dens_interval = opt.densification_interval_when_prop
         else:
-            dens_interval = 100
+            dens_interval = opt.densification_interval
         opacity_reset_interval = opt.opacity_reset_interval
 
         if iteration > opt.densify_from_iter and iteration % dens_interval == 0:
             self.key, sub = jax.random.split(self.key)
-            fn = (
-                self._densify_sized
-                if iteration > opt.opacity_reset_interval
-                else self._densify
+            in_grace = (
+                self._reset0_at is not None
+                and iteration - self._reset0_at < opt.prune_grace
             )
+            if in_grace:
+                fn = self._densify_noprune
+            elif iteration > opt.opacity_reset_interval:
+                fn = self._densify_sized
+            else:
+                fn = self._densify
             model, opt_state = fn(st.model, st.opt_state, sub)
             st = st.replace(model=model, opt_state=opt_state)
 
@@ -1049,6 +1200,7 @@ class Trainer:
         )
         if iteration % opacity_reset_interval == 0 or white_bg_kick:
             has_reset0 = True
+            self._reset0_at = iteration
             outside = self._outside_msk()
             model = gm.reset_opacity0(st.model)
             # Past indirect_from the reset value is pinned to 0.1

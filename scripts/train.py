@@ -75,14 +75,20 @@ def main():
                     help="disable mesh-traced specular visibility past "
                          "indirect_from_iter (falls back to splat-traced "
                          "soft visibility)")
-    ap.add_argument("--mesh_every", type=int, default=2000,
+    ap.add_argument("--mesh_every", type=int, default=None,
                     help="TSDF mesh re-extraction interval past "
-                         "indirect_from_iter (train_refnerf.py:1459)")
+                         "indirect_from_iter (train_refnerf.py:1459); "
+                         "default 2000 x schedule_scale")
     ap.add_argument("--dp", type=int, default=0,
                     help="multi-chip camera-batch data parallelism: run the "
                          "curriculum step on a ('dp',) mesh of N devices, one "
                          "camera per chip, gradients pmean'd over ICI (0 = "
                          "single-chip Trainer)")
+    ap.add_argument("--deadline_min", type=float, default=0,
+                    help="wall-clock budget in minutes: at the first mark "
+                         "past the deadline, save checkpoint+PLY+logs and "
+                         "exit cleanly at the iteration boundary (never "
+                         "kill a TPU run mid-step — platform trap 8)")
     ap.add_argument("--detect_anomaly", action="store_true",
                     help="debug: check loss/gradients for nonfinite values "
                          "every step and abort with the offending parameter "
@@ -123,6 +129,11 @@ def main():
         print(f"[schedule] curriculum scaled x{args.schedule_scale}: "
               f"iterations={opt.iterations}, indirect_from={opt.indirect_from_iter}, "
               f"densify_until={opt.densify_until_iter}")
+    if args.mesh_every is None:
+        # The mesh cadence is a curriculum literal too (train_refnerf.py:1459
+        # `% 2000`); round-4 weak #7: every absolute cadence must compress
+        # with the schedule or it fires at the wrong stage position.
+        args.mesh_every = max(1, round(2000 * args.schedule_scale))
     model_params, pipe, opt = cfg.apply_param_flags(args, model_params, pipe, opt)
     model_params = dataclasses.replace(
         model_params, source_path=args.source_path, model_path=args.model_path
@@ -400,10 +411,41 @@ def main():
             trainer.mine_ref_scores()
 
     t0 = time.time()
+    deadline_hit = False
     for target in sorted(marks):
         n = target - done
         if n <= 0:
             continue
+        if args.deadline_min and (time.time() - t0) / 60 > args.deadline_min:
+            # Clean stop at an iteration boundary: checkpoint + PLY below.
+            print(
+                f"[deadline] {args.deadline_min:.0f} min budget exhausted at "
+                f"iteration {done}/{opt.iterations}; saving and exiting"
+            )
+            deadline_hit = True
+            from materialrefgs_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(trainer.state, done, args.model_path)
+            target = done  # fall through to the PLY/log save block
+            out = os.path.join(
+                args.model_path,
+                f"point_cloud/iteration_{done}/point_cloud.ply",
+            )
+            gaussian_io.save_ply(
+                trainer.state.model, out,
+                env1=trainer.state.env1, env2=trainer.state.env2,
+            )
+            if trainer.state.env_gs is not None:
+                gaussian_io.save_ply(
+                    trainer.state.env_gs,
+                    os.path.join(
+                        args.model_path,
+                        f"point_cloud/iteration_{done}/env_point_cloud.ply",
+                    ),
+                )
+            with open(os.path.join(args.model_path, "train_log.json"), "w") as f:
+                json.dump(trainer.metrics_log, f)
+            break
         trainer.train(n, start_iter=done + 1, log_every=args.log_every)
         done = target
         if args.ref_score_path == "auto" and target == opt.ref_score_start_iter:

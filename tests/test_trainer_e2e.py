@@ -154,3 +154,47 @@ def test_overflow_escalates_pair_capacity(rng):
     # After escalation the next step must report zero overflow.
     trainer.train(1, start_iter=3, log_every=1)
     assert trainer.metrics_log[-1]["overflow"] == 0
+
+
+def test_surfel2_onset_overflow_free_by_construction(rng):
+    """VERDICT r4 item 8: crossing the indirect boundary with an undersized
+    tracer budget must NOT truncate the first traced step — the demand probe
+    presizes pair_capacity before the surfel2 step compiles."""
+    cams, images, gt_means = synthetic_scene(rng, n_cams=2, W=32, H=32, P=64)
+    pts = gt_means
+    cols = rng.uniform(size=(len(pts), 3)).astype(np.float32)
+    model = gm.create_from_points(pts, cols, capacity=128)
+    opt = dataclasses.replace(
+        OptimizationParams(),
+        use_perceptual_loss=False,
+        initial=1,
+        init_until_iter=1,
+        volume_render_until_iter=0,
+        indirect_from_iter=2,
+        multi_view_weight_from_iter=10**9,
+        densify_from_iter=10**9,
+        feature_rest_from_iter=100_000,
+        lambda_normal_render_depth=0.0,
+        lambda_dist=0.0,
+    )
+    from materialrefgs_tpu.ops.tracer.api import TracerConfig
+
+    cap0 = 1 << 6  # far below the onset trace demand
+    trainer = Trainer(
+        model, cams, images, opt, PipelineParams(), cameras_extent=3.0,
+        raster_cfg=RasterizeConfig(pair_capacity=1 << 12, interpret=True),
+        envmap_res=16,
+        tracer_cfg=TracerConfig(
+            pair_capacity=cap0, cluster_pair_capacity=1 << 9, interpret=True
+        ),
+        use_mesh_visibility=False,
+    )
+    trainer.train(4, log_every=1)
+    # The probe ran at the boundary and sized the budget up ...
+    assert trainer.tracer_cfg.pair_capacity > cap0
+    # ... so every surfel2 step (iterations 3+) traced without truncation.
+    surfel2_marks = [m for m in trainer.metrics_log if m["iteration"] >= 3]
+    assert surfel2_marks, trainer.metrics_log
+    for m in surfel2_marks:
+        assert m["tracer_overflow"] == 0, m
+        assert m["tracer_pairs"] > 0, m
