@@ -5,9 +5,9 @@
 # round's evidence MUST exist before anything claims it does (round-3
 # VERDICT weak item 1).
 set -x
-RUN=${1:-runs/flagship_r4}
+RUN=${1:-/tmp/flagship_r5}
 SCENE=${2:-/tmp/shiny_synth}
-OUT=${3:-artifacts/run_flagship_r4}
+OUT=${3:-artifacts/run_flagship_r5}
 
 # 1. Final metrics on the latest saved PLY (test set, map dumps).
 timeout 3000 python scripts/eval.py -m "$RUN" -s "$SCENE" --preset refnerf \
@@ -29,6 +29,13 @@ for f in "$OUT/QUALITY.md" "$OUT/psnr.json" "$OUT/train_log.json"; do
 done
 if ! ls "$OUT"/metric*.txt >/dev/null 2>&1; then
     echo "MISSING EVIDENCE: $OUT/metric*.txt (eval.py did not produce metrics)"
+    fail=1
+fi
+# Round-5 addition: the headline claim requires a LIVING env-GS cloud at the
+# final mark (round-4's 28.81 was produced with a dead cloud and QUALITY.md
+# hid it). The distiller prints an explicit verdict line — require ALIVE.
+if ! grep -q "ALIVE" "$OUT/QUALITY.md"; then
+    echo "EVIDENCE FAILURE: env-GS cloud not ALIVE at the final mark (see $OUT/QUALITY.md)"
     fail=1
 fi
 exit $fail
