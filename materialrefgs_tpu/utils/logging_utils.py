@@ -19,7 +19,19 @@ class TrainLogger:
             self.tb = SummaryWriter(log_dir)
         except Exception:
             self.tb = None
+        # Continue an existing history on resume (reference save_psnr
+        # re-reads psnr.json, train_refnerf.py:1759-1770) — a restarted run
+        # must not erase the pre-resume curve (round-4 weak #6: flagship
+        # evidence started at the resume point).
         self.psnr_history: list[dict] = []
+        p = os.path.join(log_dir, "psnr.json")
+        if os.path.exists(p):
+            try:
+                old = json.load(open(p))
+                if isinstance(old, list):
+                    self.psnr_history = old
+            except (OSError, ValueError):
+                pass
 
     def scalars(self, iteration: int, metrics: dict, prefix: str = "train"):
         if self.tb is None:
