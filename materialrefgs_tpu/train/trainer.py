@@ -686,6 +686,9 @@ class Trainer:
             )
         )
         self._reset0_at: int | None = None
+        # Steps with nonzero traced-indirect demand since the last env
+        # reset (see the starvation-aware grace in train()).
+        self._env_signal_steps = 0
         self.spatial_lr_scale = cameras_extent
         self.metrics_log: list[dict] = []
         self.vis_dir = vis_dir
@@ -929,17 +932,51 @@ class Trainer:
                 mcd = float(metrics.get("mesh_cull_dropped", 0))
                 if mcd > 0:
                     self._escalate_mesh_cull_cap(mcd, iteration)
+                # Env-cloud learning signal: the post-reset prune grace is
+                # measured in steps WITH nonzero traced demand, not wall
+                # iterations — a degraded visibility mesh can gate the
+                # indirect trace to zero pairs for hundreds of steps
+                # ((1-vis)=0 means zero env gradients in the reference too),
+                # during which reset opacities cannot regrow (round-5
+                # flagship: env cloud starved through its whole grace window
+                # and the first post-grace prune extinguished it).
+                if float(metrics.get("tracer_pairs", 0)) > 0:
+                    self._env_signal_steps += self.OVERFLOW_CHECK_EVERY
+                # Extinction recovery (failure-detection subsystem): an env
+                # cloud pruned to zero can never regrow (densify clones from
+                # alive gaussians) — re-seed it from the main model
+                # (restore_from_refgs semantics) and restart its grace.
+                if (
+                    stage == "surfel2"
+                    and self.state.env_gs is not None
+                    and int(self.state.env_gs.n_alive) == 0
+                ):
+                    print(
+                        f"[warn] it={iteration}: env-GS cloud extinct "
+                        "(0 alive); re-seeding from the main model"
+                    )
+                    self._init_env_gs()
+                    self._env_reset_at = None
+                    self._env_signal_steps = 0
 
-            self._densify_and_reset(iteration, stage)
-
-            if self.vis_dir and iteration % self.vis_every == 0:
-                self._save_vis(iteration, self._last_cam_id, stage)
+            # Mesh re-extraction BEFORE the densify/reset block: at
+            # iterations where the mesh cadence collides with an opacity
+            # reset (6000-multiples in the reference: % 2000 mesh vs % 3000
+            # reset, train_refnerf.py:1435-1472 extracts AFTER resetting),
+            # extracting afterwards snapshots a just-reset model — near-empty
+            # depth maps, degenerate mesh, visibility stuck at 1 for the
+            # whole next mesh interval. Extract from the pre-reset model.
             if (
                 (self.mesh_dir or self.use_mesh_visibility)
                 and iteration >= self.opt.indirect_from_iter
                 and iteration % self.mesh_every == 0
             ):
                 self._extract_mesh(iteration)
+
+            self._densify_and_reset(iteration, stage)
+
+            if self.vis_dir and iteration % self.vis_every == 0:
+                self._save_vis(iteration, self._last_cam_id, stage)
 
             if iteration % log_every == 0 or iteration == start_iter:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -1148,9 +1185,12 @@ class Trainer:
             and iteration % opt.env_densify_interval == 0
         ):
             self.key, sub = jax.random.split(self.key)
+            # Grace is measured in steps WITH learning signal (nonzero
+            # traced pairs, accumulated in train()'s poll): wall iterations
+            # under a vis-gated-to-zero trace cannot regrow opacities.
             in_grace = (
                 self._env_reset_at is not None
-                and iteration - self._env_reset_at < opt.env_prune_grace
+                and self._env_signal_steps < opt.env_prune_grace
             )
             if in_grace:
                 fn = self._env_densify_noprune
@@ -1163,6 +1203,7 @@ class Trainer:
                 env_gs = gm.reset_opacity0(env_gs)
                 env_opt = gm.zero_adam_param(env_opt, "opacity")
                 self._env_reset_at = iteration
+                self._env_signal_steps = 0
             st = st.replace(env_gs=env_gs, env_gs_opt_state=env_opt)
             self.state = st
 
