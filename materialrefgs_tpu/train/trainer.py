@@ -1077,9 +1077,14 @@ class Trainer:
             )
             self._steps.clear()
         else:
+            state = (
+                "CEILING-BOUND (graceful keep-nearest truncation ahead)"
+                if demand > cfg.pair_capacity
+                else "fits"
+            )
             print(
                 f"[it={iteration}] surfel2 onset: probed indirect-trace "
-                f"demand {demand} fits pair_capacity {cfg.pair_capacity}"
+                f"demand {demand} {state} pair_capacity {cfg.pair_capacity}"
             )
 
     def _escalate_tracer_capacity(self, overflow: float, iteration: int):
